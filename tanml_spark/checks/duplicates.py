@@ -1,0 +1,77 @@
+"""Duplicate / uniqueness checks.
+
+Reference semantics: ``df.duplicated(subset=cols, keep=False)`` — every
+row participating in a duplicate key group is a violation
+(tanml/ui/views/profiling.py:121-149).
+
+Spark-first design (SURVEY.md §2.3): NO self-join. Two strategies:
+
+- ``duplicate_rows``: window count over the key partition
+  (``F.count('*').over(Window.partitionBy(keys)) > 1``) — one shuffle,
+  returns the violating rows themselves.
+- ``duplicate_stats``: two-phase **salted** aggregation for the count:
+  phase 1 groups by (key, salt) with map-side partial aggregation,
+  phase 2 merges salt groups. For plain key-counting the salt is
+  unnecessary (hash agg already does map-side combine), but the same
+  shape is what defuses skew for wide keys whose groups are huge; we
+  keep the direct groupBy here and rely on AQE skew handling, which is
+  the idiomatic Spark answer.
+
+At 10^12 rows: duplicate detection on (repo,path,commit) shuffles on
+the key — bucketing the Iceberg table by hash(repo,path) would make
+this shuffle-free; exposed as a note in jobs/validate.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.functions.hashing import row_sha256
+from tanml_spark.result import CheckResult, Status
+
+
+def duplicate_rows(df: DataFrame, keys: list[str]) -> DataFrame:
+    """All rows whose key occurs more than once (keep=False semantics)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    out = df.withColumn("dup_count", F.count(F.lit(1)).over(w)).filter(
+        F.col("dup_count") > 1
+    )
+    return out.withColumn("row_sha256", row_sha256(df.schema))
+
+
+def duplicate_stats(df: DataFrame, keys: list[str]) -> DataFrame:
+    """(n_keys_duplicated, n_rows_duplicated) via groupBy — map-side
+    partial agg then one shuffle on the key columns."""
+    g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count")).filter(
+        F.col("dup_count") > 1
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_keys_duplicated"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).cast("long").alias("n_rows_duplicated"),
+    )
+
+
+@register_check("uniqueness", order=20)
+def uniqueness_check(ctx: ValidationContext) -> CheckResult:
+    keys = ctx.config.get("unique_keys", ["repo", "path", "commit"])
+    total = ctx.df.count()
+    stats = duplicate_stats(ctx.df, keys).collect()[0]
+    n_dup_rows = stats["n_rows_duplicated"] or 0
+    frac = (n_dup_rows / total) if total else 0.0
+    fail_frac = ctx.config.get("dup_fail_frac", 0.05)
+    status = (
+        Status.FAIL if frac > fail_frac else Status.WARNING if n_dup_rows > 0 else Status.PASS
+    )
+    return CheckResult(
+        name="uniqueness",
+        status=status,
+        metrics={
+            "n_keys_duplicated": float(stats["n_keys_duplicated"]),
+            "n_rows_duplicated": float(n_dup_rows),
+            "dup_frac": float(frac),
+        },
+        summary=f"{n_dup_rows} rows share a duplicated {tuple(keys)} key",
+        violations=duplicate_rows(ctx.df, keys),
+    )

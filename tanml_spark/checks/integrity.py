@@ -1,0 +1,101 @@
+"""Referential-integrity + leakage (row-overlap) checks.
+
+- Referential integrity (north-rule requirement; nearest reference
+  analog is schema alignment + target-present checks,
+  tanml/ui/services/data.py:51-72, ui/views/evaluation/main.py:130-132):
+  ``child LEFT ANTI JOIN parent ON key`` → orphan rows. The parent dim
+  is broadcast when small (engine broadcasts explicitly below a row
+  threshold; AQE handles the rest). For skewed child keys the anti
+  join is immune to per-key result blowup (output ≤ child rows), so
+  salting is not needed here — the shuffle itself is handled by AQE
+  skew-join splitting.
+
+- Leakage / row overlap (reference tanml/ui/services/data.py:75-96):
+  md5-of-rounded-stringified-row set intersection → here a sha256
+  row-hash LEFT SEMI JOIN; overlap_frac = |test ∩ train| / |test|.
+  Hash computed with the same 9-dp rounding precedent
+  (services/data.py:84).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.functions.hashing import row_sha256
+from tanml_spark.result import CheckResult, Status
+
+BROADCAST_MAX_ROWS = 10_000_000  # dims below this are broadcast explicitly
+
+
+def orphan_rows(
+    child: DataFrame,
+    parent: DataFrame,
+    on: list[str] | str,
+    broadcast_parent: bool | None = None,
+) -> DataFrame:
+    """Child rows whose key has no parent (FK violation)."""
+    on = [on] if isinstance(on, str) else on
+    p = parent.select(*on).dropDuplicates(on)
+    if broadcast_parent is None or broadcast_parent:
+        p = F.broadcast(p)
+    out = child.join(p, on=on, how="left_anti")
+    return out.withColumn("row_sha256", row_sha256(child.schema))
+
+
+def overlap_fraction(
+    train: DataFrame, test: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """1-row DataFrame: (n_test, n_overlap, overlap_frac)."""
+    cols = cols or [c for c in train.columns if c in set(test.columns)]
+    th = train.select(row_sha256(train.schema, cols).alias("row_hash")).dropDuplicates()
+    te = test.select(row_sha256(test.schema, cols).alias("row_hash"))
+    hits = te.join(th, on="row_hash", how="left_semi")
+    n_test = te.count()
+    n_overlap = hits.count()
+    frac = round(n_overlap / n_test, 9) if n_test else 0.0
+    spark = train.sparkSession
+    return spark.createDataFrame(
+        [(n_test, n_overlap, float(frac))], "n_test long, n_overlap long, overlap_frac double"
+    )
+
+
+@register_check("referential_integrity", order=30)
+def referential_check(ctx: ValidationContext) -> CheckResult:
+    key = ctx.config.get("fk_key", "repo")
+    dim_name = ctx.config.get("fk_dim", "repos")
+    parent = ctx.dims[dim_name]
+    orphans = orphan_rows(ctx.df, parent, key)
+    n_orphans = orphans.count()
+    total = ctx.df.count()
+    frac = n_orphans / total if total else 0.0
+    fail_frac = ctx.config.get("fk_fail_frac", 0.05)
+    status = (
+        Status.FAIL if frac > fail_frac else Status.WARNING if n_orphans else Status.PASS
+    )
+    return CheckResult(
+        name="referential_integrity",
+        status=status,
+        metrics={"n_orphans": float(n_orphans), "orphan_frac": float(frac)},
+        summary=f"{n_orphans} child rows with no {dim_name}.{key} parent",
+        violations=orphans,
+    )
+
+
+@register_check("leakage", order=40)
+def leakage_check(ctx: ValidationContext) -> CheckResult:
+    if ctx.reference_df is None:
+        return CheckResult("leakage", Status.PASS, summary="no reference split")
+    cols = ctx.config.get("leakage_cols", ["repo", "path", "commit"])
+    row = overlap_fraction(ctx.reference_df, ctx.df, cols).collect()[0]
+    warn = ctx.config.get("leakage_warn_frac", 0.0)
+    fail = ctx.config.get("leakage_fail_frac", 0.05)
+    frac = row["overlap_frac"]
+    status = Status.FAIL if frac > fail else Status.WARNING if frac > warn else Status.PASS
+    return CheckResult(
+        name="leakage",
+        status=status,
+        metrics={"overlap_frac": frac, "n_overlap": float(row["n_overlap"])},
+        summary=f"{row['n_overlap']}/{row['n_test']} test rows appear in train",
+    )

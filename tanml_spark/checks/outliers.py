@@ -1,0 +1,115 @@
+"""IQR / domain-bound outlier checks.
+
+Reference semantics (tanml/ui/views/profiling.py:236-309):
+- IQR rule: lo = Q1 - 1.5*IQR, hi = Q3 + 1.5*IQR; a row violates when
+  value < lo OR value > hi (nulls are not violations).
+- Domain-constraint rule: user min/max override the IQR bounds —
+  handled by the generic ``range`` rule in constraints.py.
+
+Spark design: quantiles for ALL columns in one fused
+``percentile_approx`` agg (exact ``percentile`` at oracle scale);
+bounds become plain range predicates → violation counts fuse into one
+second pass, violation rows are pushed-down filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.functions.hashing import row_sha256
+from tanml_spark.result import CheckResult, Status
+
+
+def iqr_bounds(df: DataFrame, columns: list[str], exact: bool = False) -> dict[str, tuple]:
+    """{column: (lo, hi)} from one fused quantile aggregation."""
+    exprs = []
+    for c in columns:
+        q = (
+            F.expr(f"percentile(`{c}`, array(0.25, 0.75))")
+            if exact
+            else F.percentile_approx(F.col(c), F.lit([0.25, 0.75]), F.lit(10000))
+        )
+        exprs.append(q.alias(c))
+    row = df.agg(*exprs).collect()[0]
+    out = {}
+    for c in columns:
+        q1, q3 = row[c]
+        iqr = q3 - q1
+        out[c] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    return out
+
+
+def iqr_outlier_stats(df: DataFrame, columns: list[str], exact: bool = False) -> DataFrame:
+    """(column, n_rows, n_outliers, outlier_frac, lo, hi) — one extra pass."""
+    bounds = iqr_bounds(df, columns, exact)
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, (lo, hi) in bounds.items():
+        pred = F.col(c).isNotNull() & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+        exprs.append(F.sum(pred.cast("long")).alias(f"out__{c}"))
+    wide = df.agg(*exprs)
+    pairs = ", ".join(
+        f"'{c}', cast(`out__{c}` as double), cast({bounds[c][0]} as double), "
+        f"cast({bounds[c][1]} as double)"
+        for c in columns
+    )
+    n = wide.select(
+        "n_rows", F.expr(f"stack({len(columns)}, {pairs}) as (column, n_outliers, lo, hi)")
+    )
+    return n.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+        F.round(F.col("n_outliers") / F.col("n_rows"), 9).alias("outlier_frac"),
+        F.round("lo", 9).alias("lo"),
+        F.round("hi", 9).alias("hi"),
+    )
+
+
+def iqr_outlier_rows(df: DataFrame, column: str, exact: bool = False) -> DataFrame:
+    lo, hi = iqr_bounds(df, [column], exact)[column]
+    pred = F.col(column).isNotNull() & ((F.col(column) < F.lit(lo)) | (F.col(column) > F.lit(hi)))
+    return df.filter(pred).withColumn("rule_id", F.lit(f"iqr:{column}")).withColumn(
+        "row_sha256", row_sha256(df.schema)
+    )
+
+
+@register_check("iqr_outliers", order=25)
+def iqr_check(ctx: ValidationContext) -> CheckResult:
+    cols = ctx.config.get("iqr_columns")
+    if not cols:
+        numeric = {"int", "bigint", "double", "float", "smallint", "tinyint"}
+        cols = [c for c, t in ctx.df.dtypes if t in numeric]
+    if not cols:
+        return CheckResult("iqr_outliers", Status.PASS, summary="no numeric columns")
+    stats = iqr_outlier_stats(ctx.df, cols, exact=ctx.config.get("exact_quantiles", False))
+    rows = stats.collect()
+    warn = ctx.config.get("outlier_warn_frac", 0.01)
+    fail = ctx.config.get("outlier_fail_frac", 0.10)
+    statuses, verdicts = [], []
+    for r in rows:
+        s = (
+            Status.FAIL
+            if r["outlier_frac"] > fail
+            else Status.WARNING
+            if r["outlier_frac"] > warn
+            else Status.PASS
+        )
+        statuses.append(s)
+        verdicts.append(
+            {
+                "check": "iqr_outliers",
+                "partition_key": r["column"],
+                "status": s.value,
+                "metric": "outlier_frac",
+                "value": r["outlier_frac"],
+            }
+        )
+    return CheckResult(
+        name="iqr_outliers",
+        status=Status.worst(statuses),
+        metrics={f"outlier_frac:{r['column']}": r["outlier_frac"] for r in rows},
+        summary=f"{sum(1 for s in statuses if s != Status.PASS)}/{len(rows)} columns flagged",
+        verdicts=verdicts,
+    )

@@ -1,0 +1,102 @@
+"""Column-risk checks over the fused profile.
+
+Reference semantics (tanml/ui/views/profiling.py:37-43):
+- missing-rate rule:    null fraction > 0.05          → flagged
+- constant-column rule: distinct ≤ 1                  → flagged
+- high-cardinality rule (strings): distinct > 50      → flagged
+
+All three derive from the SAME single fused aggregation pass
+(operators/profile.py) — no extra scans. Exposed both as a
+registered Check and as a standalone DataFrame function
+(``column_risks``) used by the driver oracle queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.operators.profile import profile
+from tanml_spark.result import CheckResult, Status
+
+MISSING_FRAC = 0.05
+HIGH_CARDINALITY = 50
+
+
+def column_risks(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = True,
+    missing_frac: float = MISSING_FRAC,
+    high_card: int = HIGH_CARDINALITY,
+) -> DataFrame:
+    """Narrow risk table: (column, n_rows, nulls, null_frac, distinct,
+    missing_flag, constant_flag, high_card_flag, status)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns or list(fields)
+    wide = profile(df, columns=cols, approx=approx, quantiles=False)
+
+    pairs = []
+    for c in cols:
+        is_str = isinstance(fields[c], T.StringType)
+        pairs.append(
+            f"'{c}', cast(`{c}__nulls` as double), cast(`{c}__distinct` as double), "
+            f"{'true' if is_str else 'false'}"
+        )
+    stack = f"stack({len(cols)}, {', '.join(pairs)}) as (column, nulls, distinct, is_string)"
+    n = wide.select(F.col("n_rows"), F.expr(stack))
+    n = n.withColumn(
+        "null_frac",
+        F.round(F.when(F.col("n_rows") > 0, F.col("nulls") / F.col("n_rows")).otherwise(0.0), 9),
+    )
+    n = (
+        n.withColumn("missing_flag", F.col("null_frac") > F.lit(missing_frac))
+        .withColumn("constant_flag", F.col("distinct") <= 1)
+        .withColumn(
+            "high_card_flag", F.col("is_string") & (F.col("distinct") > F.lit(high_card))
+        )
+    )
+    status = (
+        F.when(F.col("constant_flag"), "fail")
+        .when(F.col("missing_flag") | F.col("high_card_flag"), "warning")
+        .otherwise("pass")
+    )
+    return n.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("nulls").cast("long").alias("nulls"),
+        "null_frac",
+        F.col("distinct").cast("long").alias("distinct"),
+        "missing_flag",
+        "constant_flag",
+        "high_card_flag",
+        status.alias("status"),
+    )
+
+
+@register_check("column_risks", order=10)
+def column_risks_check(ctx: ValidationContext) -> CheckResult:
+    cols = ctx.config.get("profile_columns")
+    risks = column_risks(ctx.df, columns=cols, approx=ctx.config.get("approx", True))
+    rows = risks.collect()
+    statuses = [Status(r["status"]) for r in rows]
+    verdicts = [
+        {
+            "check": "column_risks",
+            "partition_key": r["column"],  # per-column verdict rows
+            "status": r["status"],
+            "metric": "null_frac",
+            "value": r["null_frac"],
+        }
+        for r in rows
+    ]
+    n_bad = sum(1 for s in statuses if s != Status.PASS)
+    return CheckResult(
+        name="column_risks",
+        status=Status.worst(statuses),
+        metrics={"columns_flagged": float(n_bad), "columns_total": float(len(rows))},
+        summary=f"{n_bad}/{len(rows)} columns flagged",
+        verdicts=verdicts,
+    )

@@ -1,0 +1,166 @@
+"""Constraint compiler: declarative rule spec → vectorized Spark SQL.
+
+The reference's constraints are imperative pandas masks — IQR/domain
+range bounds (tanml/ui/views/profiling.py:236-309), missing-rate > 5%
+(profiling.py:37), high-cardinality > 50 (profiling.py:38-42), constant
+columns (profiling.py:43). Here each rule compiles to a **Column
+predicate** (true = row violates). From one list of rules the engine
+derives, in a SINGLE fused aggregation pass:
+
+- per-rule violation counts:  ``F.sum(pred.cast('long'))``
+- per-rule violation fraction and pass/warning/fail verdicts
+
+and, lazily, per-rule **violation row** DataFrames
+(``df.filter(pred)`` + ``row_sha256``) — Catalyst pushes each filter
+to the scan, so violation extraction reads only matching row groups.
+
+Rules are plain dicts (YAML-friendly) or ``Rule`` objects::
+
+    {"type": "not_null",   "column": "content"}
+    {"type": "range",      "column": "len", "min": 1, "max": 1e6}
+    {"type": "length",     "column": "content", "min": 1, "max": 100000}
+    {"type": "regex",      "column": "commit", "pattern": "^[0-9a-f]{40}$"}
+    {"type": "in_set",     "column": "lang", "values": ["python", ...]}
+    {"type": "expr",       "column": "-", "sql": "length(path) < 5"}
+
+Thresholding: a rule may carry ``warn_frac`` / ``fail_frac`` — verdict
+is fail if violation_frac > fail_frac, warning if > warn_frac, else
+pass (tri-state contract, reference checks/base.py:38-67).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tanml_spark.functions.hashing import row_sha256
+
+
+@dataclass(frozen=True)
+class Rule:
+    type: str
+    column: str
+    name: str = ""
+    params: dict = field(default_factory=dict)
+    warn_frac: float = 0.0   # violation fraction above which -> warning
+    fail_frac: float = 0.05  # violation fraction above which -> fail
+
+    @property
+    def rule_id(self) -> str:
+        return self.name or f"{self.type}:{self.column}"
+
+
+def as_rule(spec: dict | Rule) -> Rule:
+    if isinstance(spec, Rule):
+        return spec
+    d = dict(spec)
+    return Rule(
+        type=d.pop("type"),
+        column=d.pop("column", "-"),
+        name=d.pop("name", ""),
+        warn_frac=d.pop("warn_frac", 0.0),
+        fail_frac=d.pop("fail_frac", 0.05),
+        params=d,
+    )
+
+
+def violation_predicate(rule: Rule) -> Column:
+    """Compile one rule to a boolean Column: true ⇔ the row VIOLATES."""
+    c = F.col(rule.column) if rule.column != "-" else None
+    p = rule.params
+    t = rule.type
+    if t == "not_null":
+        return c.isNull()
+    if t == "not_empty":
+        return c.isNull() | (F.length(c.cast("string")) == 0)
+    if t == "range":
+        lo, hi = p.get("min"), p.get("max")
+        pred = F.lit(False)
+        if lo is not None:
+            pred = pred | (c < F.lit(lo))
+        if hi is not None:
+            pred = pred | (c > F.lit(hi))
+        return c.isNotNull() & pred
+    if t == "length":
+        ln = F.length(c)
+        lo, hi = p.get("min"), p.get("max")
+        pred = F.lit(False)
+        if lo is not None:
+            pred = pred | (ln < F.lit(lo))
+        if hi is not None:
+            pred = pred | (ln > F.lit(hi))
+        return c.isNotNull() & pred
+    if t == "regex":
+        # violation = non-null value NOT matching the anchored pattern
+        return c.isNotNull() & ~c.rlike(p["pattern"])
+    if t == "in_set":
+        return c.isNotNull() & ~c.isin(list(p["values"]))
+    if t == "expr":
+        # raw SQL predicate where TRUE means violation
+        return F.expr(p["sql"])
+    raise ValueError(f"unknown rule type: {t}")
+
+
+def compile_agg_exprs(rules: list[Rule]) -> list[Column]:
+    """Per-rule violation-count + eligible-count exprs for ONE fused agg."""
+    exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for r in rules:
+        pred = violation_predicate(r)
+        exprs.append(F.sum(pred.cast("long")).alias(f"viol{r.rule_id}"))
+    return exprs
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: list[dict | Rule],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate all rules in one fused pass → narrow verdict table.
+
+    Returns ``(group..., rule_id, n_rows, violations, violation_frac,
+    status)``. With ``group_by`` = the logical partition key, verdicts
+    are per-partition and parallelism-independent.
+    """
+    rs = [as_rule(r) for r in rules]
+    exprs = compile_agg_exprs(rs)
+    wide = df.groupBy(*group_by).agg(*exprs) if group_by else df.agg(*exprs)
+
+    keep = list(group_by or [])
+    pairs = []
+    for r in rs:
+        pairs.append(f"'{r.rule_id}', cast(`viol{r.rule_id}` as double), "
+                     f"cast({r.warn_frac} as double), cast({r.fail_frac} as double)")
+    stack = (
+        f"stack({len(rs)}, {', '.join(pairs)}) as "
+        "(rule_id, violations, warn_frac, fail_frac)"
+    )
+    narrow = wide.select(*keep, F.col("n_rows"), F.expr(stack))
+    frac = F.when(F.col("n_rows") > 0, F.col("violations") / F.col("n_rows")).otherwise(
+        F.lit(0.0)
+    )
+    narrow = narrow.withColumn("violation_frac", F.round(frac, 9))
+    status = (
+        F.when(F.col("violation_frac") > F.col("fail_frac"), "fail")
+        .when(F.col("violation_frac") > F.col("warn_frac"), "warning")
+        .otherwise("pass")
+    )
+    return narrow.withColumn("status", status).select(
+        *keep,
+        "rule_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("violations").cast("long").alias("violations"),
+        "violation_frac",
+        "status",
+    )
+
+
+def violation_rows(
+    df: DataFrame, rule: dict | Rule, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Rows violating one rule, tagged with rule_id + stable row hash."""
+    r = as_rule(rule)
+    pred = violation_predicate(r)
+    out = df.filter(pred).withColumn("rule_id", F.lit(r.rule_id))
+    return out.withColumn("row_sha256", row_sha256(df.schema, id_cols))

@@ -1,0 +1,5 @@
+from tanml_spark.functions.hashing import (  # noqa: F401
+    logical_partition,
+    row_sha256,
+    salted_key,
+)

@@ -1,0 +1,58 @@
+"""Stable hashing / partitioning primitives.
+
+- ``row_sha256``: the engine's per-row content invariant
+  (BASELINE.json: "content sha256 equality"). Semantics follow the
+  reference's row-identity hash — round floats to 9 dp, stringify,
+  join with '|', hash (tanml/ui/services/data.py:80-94) — upgraded
+  from md5 to sha256.
+- ``logical_partition``: a *logical* partition key that is a pure
+  function of the data (not of Spark task placement), so verdicts
+  keyed by it are identical at any parallelism / cluster size.
+- ``salted_key``: deterministic salt for skewed-key two-phase aggs
+  and joins (north rule: salted hash-joins for repo/lang skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stringify(col: Column, dtype: T.DataType) -> Column:
+    # Round floats to 9 dp before stringifying so hashes are stable
+    # across float formatting differences (reference: services/data.py:84).
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.format_number(F.round(col, 9), 9)
+    if isinstance(dtype, T.TimestampType):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return col.cast("string")
+
+
+def row_sha256(df_schema: T.StructType, cols: list[str] | None = None) -> Column:
+    """sha256 over the '|'-joined, null-marked, stringified row."""
+    fields = {f.name: f.dataType for f in df_schema.fields}
+    use = cols or list(fields)
+    parts = [
+        F.coalesce(_stringify(F.col(c), fields[c]), F.lit("\x00NULL")) for c in use
+    ]
+    return F.sha2(F.concat_ws("|", *parts), 256)
+
+
+def logical_partition(key: Column, n_buckets: int = 64) -> Column:
+    """Deterministic bucket of a business key (e.g. repo).
+
+    Uses xxhash64 (stable across Spark versions/JVMs for string input)
+    so the verdict partitioning is a property of the DATA — two runs at
+    local[8] and local[32] produce identical per-partition verdicts.
+    """
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def salted_key(key: Column, spread_on: Column, n_salts: int = 16) -> Column:
+    """Two-phase-agg salt for skewed keys: rows sharing a hot ``key``
+    are spread over ``n_salts`` sub-keys by hashing a secondary column
+    (e.g. path) — deterministic (no F.rand()), so retries/resumes and
+    different cluster sizes see the same salt assignment."""
+    salt = F.pmod(F.xxhash64(spread_on.cast("string")), F.lit(n_salts)).cast("string")
+    return F.concat_ws("#", key.cast("string"), salt)

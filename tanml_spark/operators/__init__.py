@@ -1,0 +1,1 @@
+from tanml_spark.operators.profile import profile, profile_narrow  # noqa: F401

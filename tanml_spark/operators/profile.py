@@ -1,0 +1,127 @@
+"""Fused one-pass column profiling.
+
+Re-creates the reference's profiling KPIs — row/col counts, per-column
+null counts & fractions, distinct counts, describe() stats, quantiles
+(reference tanml/ui/views/profiling.py:22-43, 86-102, 177-181, 224) —
+as ONE wide ``df.agg(...)``: Catalyst executes all expressions in a
+single partial+final HashAggregate pair, i.e. exactly one scan of the
+table regardless of column count (north-rule "fused one-pass" req).
+
+Distinct counts use HyperLogLog (``approx_count_distinct``) by default
+— at 10^12 rows an exact distinct is a full shuffle per column; HLL is
+a mergeable sketch computed map-side. ``approx=False`` switches to
+exact for small-scale oracle parity.
+
+Quantiles use ``percentile_approx`` (Greenwald-Khanna sketch, also
+mergeable/partial-final). Histograms for drift live in checks/drift.py.
+
+Output shapes:
+- ``profile``: one row per group (or one row total) with
+  ``<col>__<stat>`` columns — the raw fused pass.
+- ``profile_narrow``: melted to ``(column, stat, value)`` rows via a
+  single ``stack`` projection — the engine's canonical metrics table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+SEP = "__"
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, NUMERIC_TYPES)
+
+
+def column_stat_exprs(
+    name: str, dt: T.DataType, approx: bool = True, quantiles: bool = True
+) -> list[Column]:
+    """Fused stat expressions for one column.
+
+    Numeric-vs-non-numeric split mirrors the reference's load-bearing
+    ``select_dtypes(include=[np.number])`` distinction
+    (tanml/analysis/drift.py:149 and passim).
+    """
+    c = F.col(name)
+    distinct = (
+        F.approx_count_distinct(c) if approx else F.count_distinct(c)
+    )
+    exprs = [
+        F.count(c).alias(f"{name}{SEP}count"),
+        F.count(F.when(c.isNull(), 1)).alias(f"{name}{SEP}nulls"),
+        distinct.alias(f"{name}{SEP}distinct"),
+    ]
+    if _is_numeric(dt):
+        exprs += [
+            F.round(F.min(c), 9).alias(f"{name}{SEP}min"),
+            F.round(F.max(c), 9).alias(f"{name}{SEP}max"),
+            F.round(F.avg(c), 9).alias(f"{name}{SEP}mean"),
+            F.round(F.stddev_samp(c), 9).alias(f"{name}{SEP}stddev"),
+        ]
+        if quantiles:
+            exprs += [
+                F.percentile_approx(c, 0.25, 10000).alias(f"{name}{SEP}q25"),
+                F.percentile_approx(c, 0.5, 10000).alias(f"{name}{SEP}q50"),
+                F.percentile_approx(c, 0.75, 10000).alias(f"{name}{SEP}q75"),
+            ]
+    elif isinstance(dt, T.StringType):
+        exprs += [
+            F.min(F.length(c)).alias(f"{name}{SEP}min_len"),
+            F.max(F.length(c)).alias(f"{name}{SEP}max_len"),
+            F.round(F.avg(F.length(c)), 9).alias(f"{name}{SEP}avg_len"),
+        ]
+    return exprs
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    approx: bool = True,
+    quantiles: bool = True,
+) -> DataFrame:
+    """One fused aggregation over all requested columns.
+
+    With ``group_by`` (e.g. the logical partition key) stats come back
+    per group — this is how per-partition verdicts stay deterministic:
+    each logical partition aggregates independently of task layout.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns or [c for c in fields if c not in (group_by or [])]
+    exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        exprs += column_stat_exprs(c, fields[c], approx=approx, quantiles=quantiles)
+    if group_by:
+        return df.groupBy(*group_by).agg(*exprs)
+    return df.agg(*exprs)
+
+
+def profile_narrow(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    approx: bool = True,
+    quantiles: bool = True,
+) -> DataFrame:
+    """Melt the fused profile to ``(group..., column, stat, value)``.
+
+    One ``stack`` projection over the (tiny) wide result — no second
+    pass over the data.
+    """
+    wide = profile(df, columns, group_by, approx, quantiles)
+    keep = list(group_by or [])
+    stat_cols = [c for c in wide.columns if SEP in c]
+    n = len(stat_cols) + 1  # +1 for n_rows
+    pairs: list[str] = ["'__all__', 'n_rows', cast(n_rows as double)"]
+    for c in stat_cols:
+        col_name, stat = c.rsplit(SEP, 1)
+        pairs.append(f"'{col_name}', '{stat}', cast(`{c}` as double)")
+    stack_expr = f"stack({n}, {', '.join(pairs)}) as (column, stat, value)"
+    return wide.select(*keep, F.expr(stack_expr))

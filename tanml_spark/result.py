@@ -1,0 +1,64 @@
+"""Check result contract.
+
+Re-creates the reference's ``CheckResult{name, status, metrics,
+summary}`` tri-state contract (reference tanml/checks/base.py:38-67)
+in a Spark-native shape: a check produces
+
+- a **verdict row** per (logical partition x check): pass/warning/fail
+  plus a small metrics map, and
+- an optional **violations DataFrame** whose rows carry a stable
+  ``row_sha256`` content hash so two runs at different parallelism
+  byte-match (BASELINE.json per-row invariant).
+
+All floats in metrics are rounded to 9 dp before storage/hashing —
+the reference's own numeric-stability precedent
+(tanml/ui/services/data.py:46-47).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame
+
+
+class Status(str, Enum):
+    PASS = "pass"
+    WARNING = "warning"
+    FAIL = "fail"
+
+    @staticmethod
+    def worst(statuses: list["Status"]) -> "Status":
+        order = {Status.PASS: 0, Status.WARNING: 1, Status.FAIL: 2}
+        return max(statuses, key=lambda s: order[s]) if statuses else Status.PASS
+
+
+ROUND_DP = 9  # reference precedent: 9-dp rounding for hash/float stability
+
+
+def round9(x: float | None) -> float | None:
+    return None if x is None else round(float(x), ROUND_DP)
+
+
+@dataclass
+class CheckResult:
+    """Outcome of one check over one input (possibly per-partition).
+
+    ``verdicts`` is a list of dict rows
+    ``{partition_key, check, status, metric, value}`` (long/narrow form —
+    trivially unioned into the run's verdict table). ``violations`` is a
+    lazy DataFrame (or None) of offending rows, each with ``row_sha256``.
+    """
+
+    name: str
+    status: Status
+    metrics: dict[str, float] = field(default_factory=dict)
+    summary: str = ""
+    verdicts: list[dict] = field(default_factory=list)
+    violations: DataFrame | None = None
+
+    def __post_init__(self) -> None:
+        self.metrics = {
+            k: (round9(v) if isinstance(v, float) else v) for k, v in self.metrics.items()
+        }

@@ -1,0 +1,242 @@
+"""Validation suite runner: partition-parallel execution with
+checkpoint/resume and per-partition lineage (north-rule requirements).
+
+Execution model
+---------------
+The unit of verdict + resume is the **logical partition**: a
+deterministic bucket of the business key (``logical_partition(repo)``)
+— a pure function of the data, so per-partition verdicts are identical
+at any parallelism (local[8] ≡ local[32] ≡ a 1000-executor cluster).
+
+State machine (engine-level, no Catalyst involvement — SURVEY.md §4.2):
+- ``{run_dir}/state/``       one row per (check, partition_key) with
+  status/metrics/row-count + completed_at — the checkpoint table.
+- ``{run_dir}/verdicts/``    narrow verdict rows, written
+  ``partitionBy(check, partition_key)`` with dynamic partition
+  overwrite → **idempotent**: a re-run of a partition replaces exactly
+  its own files, never appends duplicates.
+- ``{run_dir}/violations/``  violation rows per check (sha256-stable).
+
+Resume: on start the runner anti-joins pending partitions against the
+state table (per check) and only recomputes those; a run killed
+mid-flight re-executes only unfinished (check, partition) pairs.
+
+At cluster scale this run_dir lives on object storage / an Iceberg
+namespace; everything here is plain Spark writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import DEFAULT_REGISTRY, CheckRegistry, ValidationContext
+from tanml_spark.constraints import Rule, as_rule, check_constraints
+from tanml_spark.functions.hashing import logical_partition
+from tanml_spark.result import CheckResult, Status
+
+VERDICT_SCHEMA = (
+    "check string, partition_key string, status string, metric string, value double"
+)
+STATE_SCHEMA = (
+    "check string, partition_key string, status string, n_verdicts long, completed_at double"
+)
+
+
+class ValidationRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str,
+        n_buckets: int = 64,
+        partition_key_col: str = "repo",
+    ) -> None:
+        self.spark = spark
+        self.run_dir = run_dir
+        self.n_buckets = n_buckets
+        self.partition_key_col = partition_key_col
+        os.makedirs(run_dir, exist_ok=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---------- state ----------
+    def _state_path(self) -> str:
+        return os.path.join(self.run_dir, "state")
+
+    def read_state(self) -> DataFrame:
+        p = self._state_path()
+        if os.path.exists(p) and any(f.endswith(".parquet") for f in _walk(p)):
+            return self.spark.read.parquet(p)
+        return self.spark.createDataFrame([], STATE_SCHEMA)
+
+    def completed_partitions(self, check: str) -> DataFrame:
+        return (
+            self.read_state()
+            .filter(F.col("check") == check)
+            .select("partition_key")
+            .distinct()
+        )
+
+    def _commit_state(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [
+                (r["check"], str(r["partition_key"]), r["status"], int(r.get("n_verdicts", 1)),
+                 time.time())
+                for r in rows
+            ],
+            STATE_SCHEMA,
+        )
+        df.write.mode("append").parquet(self._state_path())
+
+    # ---------- outputs ----------
+    def _write_verdicts(self, verdicts: DataFrame) -> None:
+        (
+            verdicts.repartition("check", "partition_key")
+            .write.mode("overwrite")
+            .partitionBy("check", "partition_key")
+            .parquet(os.path.join(self.run_dir, "verdicts"))
+        )
+
+    def read_verdicts(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.run_dir, "verdicts"))
+
+    def _write_violations(self, check: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.run_dir, "violations", check)
+        )
+
+    # ---------- partitioned constraint run (partition-level resume) ----------
+    def run_constraints(
+        self, df: DataFrame, rules: list[dict | Rule], resume: bool = True
+    ) -> DataFrame:
+        """Per-(logical partition, rule) verdicts with resume.
+
+        Returns the verdict DataFrame for ALL partitions (completed +
+        newly computed) read back from the run_dir, so output is
+        independent of which subset this invocation computed.
+        """
+        rules = [as_rule(r) for r in rules]
+        check = "constraints"
+        keyed = df.withColumn(
+            "partition_key",
+            logical_partition(F.col(self.partition_key_col), self.n_buckets).cast("string"),
+        )
+        if resume:
+            done = self.completed_partitions(check)
+            keyed = keyed.join(F.broadcast(done), "partition_key", "left_anti")
+
+        pending = check_constraints(keyed, rules, group_by=["partition_key"])
+        verdict_rows = pending.select(
+            F.lit(check).alias("check"),
+            F.col("partition_key"),
+            F.col("status"),
+            F.concat(F.lit("violation_frac:"), F.col("rule_id")).alias("metric"),
+            F.col("violation_frac").alias("value"),
+        )
+        # Materialize once; both writes reuse it.
+        verdict_rows = verdict_rows.cache()
+        n_new = verdict_rows.count()
+        if n_new:
+            self._write_verdicts(verdict_rows)
+            state = (
+                verdict_rows.groupBy("partition_key")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.max(F.when(F.col("status") == "fail", 2)
+                            .when(F.col("status") == "warning", 1)
+                            .otherwise(0)).alias("worst"))
+                .collect()
+            )
+            self._commit_state(
+                [
+                    {
+                        "check": check,
+                        "partition_key": r["partition_key"],
+                        "status": ["pass", "warning", "fail"][r["worst"]],
+                        "n_verdicts": r["n"],
+                    }
+                    for r in state
+                ]
+            )
+        verdict_rows.unpersist()
+        return self.read_verdicts().filter(F.col("check") == check)
+
+    # ---------- whole-suite run (check-level orchestration) ----------
+    def run_suite(
+        self,
+        ctx: ValidationContext,
+        checks: list[str] | None = None,
+        registry: CheckRegistry | None = None,
+        resume: bool = True,
+    ) -> dict[str, CheckResult]:
+        registry = registry or DEFAULT_REGISTRY
+        todo = registry.get_all()
+        if checks:
+            todo = [c for c in todo if c.name in set(checks)]
+        state = {r["check"] for r in self.read_state().select("check").distinct().collect()}
+        results: dict[str, CheckResult] = {}
+        for check in todo:
+            marker = f"__suite__{check.name}"
+            if resume and marker in state:
+                continue
+            res = check.fn(ctx)
+            results[check.name] = res
+            if res.verdicts:
+                vdf = self.spark.createDataFrame(
+                    [
+                        (
+                            res.name,
+                            str(v.get("partition_key", "__all__")),
+                            v["status"],
+                            v.get("metric", ""),
+                            float(v["value"]) if v.get("value") is not None else None,
+                        )
+                        for v in res.verdicts
+                    ],
+                    VERDICT_SCHEMA,
+                )
+                self._write_verdicts(vdf)
+            if res.violations is not None:
+                self._write_violations(res.name, res.violations)
+            self._commit_state(
+                [
+                    {
+                        "check": marker,
+                        "partition_key": "__all__",
+                        "status": res.status.value,
+                        "n_verdicts": len(res.verdicts),
+                    }
+                ]
+            )
+            self._write_manifest(res)
+        return results
+
+    def _write_manifest(self, res: CheckResult) -> None:
+        p = os.path.join(self.run_dir, "metrics.jsonl")
+        with open(p, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "check": res.name,
+                        "status": res.status.value,
+                        "metrics": res.metrics,
+                        "summary": res.summary,
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )
+
+
+def _walk(root: str):
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            yield os.path.join(dirpath, fn)
+
+
+def suite_verdict(results: dict[str, CheckResult]) -> Status:
+    return Status.worst([r.status for r in results.values()])

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the validation workload.
+
+Local-mode knobs mirror what a multi-executor deployment would set via
+spark-submit conf; the engine itself never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tanml_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: parallelism for local mode (``local[cores]``); defaults to
+    ``$SPARK_GRAFT_CPUS`` or 32. shuffle_partitions defaults to the
+    core count — at cluster scale this would be sized to keep shuffle
+    partitions ~128-256MB (set via spark-submit, not here).
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("TANML_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

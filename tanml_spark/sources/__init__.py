@@ -1,0 +1,2 @@
+from tanml_spark.sources.code_files import gen_code_files, gen_repos  # noqa: F401
+from tanml_spark.sources.loader import load_table, load_testdata  # noqa: F401

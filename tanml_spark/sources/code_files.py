@@ -1,0 +1,146 @@
+"""Deterministic synthetic `code_files` table (the north-rule input).
+
+Shape mandated by BASELINE.json input_hint:
+``(repo:string, path:string, commit:string, lang:string, content:string)``
+— conceptually an Iceberg table of source-code repositories at
+10^12-file scale; synthesized here at small scale, seeded, mirroring
+the reference's fixture style (reference scripts/generate_demo_data.py:11-16).
+
+Every column is a **pure function of the row id** via xxhash64, so the
+table is byte-identical at any parallelism (local[8] vs local[32]) and
+any partition count — the generator is `spark.range(n)` + column
+expressions, fully distributed, no driver-side data or Python UDFs.
+At 10^12 scale the same expressions run unchanged; only `n_rows` grows.
+
+Injected defect knobs (FIXTURES.md F1) so every check has
+known-positive cases:
+- ~2% null lang, ~1% null + ~1% empty content   → null/length rules
+- ~1% full-row duplicates (id%100==1 clones id-1) → uniqueness + dedup
+- ~1% of repos absent from the `repos` dim        → referential orphans
+- Zipf-ish repo skew (u^3 law)                    → salting/AQE skew
+- split='test' has shifted content-length and lang mix → PSI/KS drift
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED = 42
+LANGS = ["python", "java", "go", "js", "rust", "md"]
+EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "rust": "rs", "md": "md"}
+TRAIN_W = [0.40, 0.20, 0.15, 0.15, 0.05, 0.05]
+TEST_W = [0.20, 0.15, 0.15, 0.15, 0.20, 0.15]
+
+
+def gen_code_files(
+    spark: SparkSession,
+    n_rows: int = 10_000,
+    n_repos: int = 200,
+    drift: bool = True,
+) -> DataFrame:
+    """Build code_files with `split` in {train, test} (80/20 by src id)."""
+    df = spark.range(n_rows)
+
+    # Duplicate knob: rows with id%100==1 are full clones of id-1
+    # (same repo/path/commit/lang/content/split, different id).
+    src = F.when((F.col("id") % 100 == 1) & (F.col("id") > 0), F.col("id") - 1).otherwise(
+        F.col("id")
+    )
+    df = df.withColumn("_src", src)
+
+    def h(tag: int) -> Column:
+        return F.abs(F.xxhash64(F.col("_src"), F.lit(SEED), F.lit(tag)))
+
+    def u(tag: int) -> Column:
+        return (h(tag) % 1_000_000).cast("double") / 1_000_000.0
+
+    # Zipf-ish repo skew: u^3 concentrates mass on low repo indices.
+    repo_idx = F.floor(F.pow(u(1), 3.0) * n_repos).cast("int")
+    df = df.withColumn("_repo_idx", repo_idx)
+
+    df = df.withColumn(
+        "split", F.when(F.col("_src") % 5 == 4, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+    # lang: skewed categorical; test split shifts the mix when drift=True.
+    u_lang = u(2)
+
+    def pick(weights: list[float]) -> Column:
+        chain = None
+        acc = 0.0
+        for lang, w in zip(LANGS, weights):
+            acc += w
+            cond = u_lang < F.lit(acc)
+            chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+        return chain.otherwise(F.lit(LANGS[-1]))
+
+    lang = (
+        F.when((F.col("split") == "test") & F.lit(drift), pick(TEST_W)).otherwise(pick(TRAIN_W))
+    )
+    lang = F.when(u(3) < 0.02, F.lit(None).cast("string")).otherwise(lang)
+    df = df.withColumn("lang", lang)
+
+    ext = F.coalesce(
+        *[F.when(F.col("lang") == l, F.lit(e)) for l, e in EXT.items()], F.lit("txt")
+    )
+    df = df.withColumn(
+        "path",
+        F.concat_ws(
+            "/",
+            F.lit("src"),
+            F.concat(F.lit("pkg"), (h(4) % 40).cast("string")),
+            F.concat(F.lit("mod"), (h(5) % 500).cast("string"), F.lit("."), ext),
+        ),
+    )
+
+    df = df.withColumn(
+        "commit",
+        F.lower(
+            F.concat(
+                F.lpad(F.hex(h(6)), 16, "0"),
+                F.lpad(F.hex(h(7)), 16, "0"),
+                F.lpad(F.hex(h(8) % 0xFFFFFFFF), 8, "0"),
+            )
+        ),
+    )
+
+    # content: pseudo-source, train len ~100-5000, test len ~600-10000.
+    base_len = (F.lit(100) + (h(9) % 4900)).cast("int")
+    test_len = (F.lit(600) + (h(9) % 9400)).cast("int")
+    length = F.when((F.col("split") == "test") & F.lit(drift), test_len).otherwise(base_len)
+    token = F.concat(F.lit("def fn_"), (h(10) % 100000).cast("string"), F.lit("(x): return x # "))
+    content = F.substring(F.repeat(token, 400), 1, length)
+    content = (
+        F.when(u(11) < 0.01, F.lit(""))
+        .when(u(11) > 0.99, F.lit(None).cast("string"))
+        .otherwise(content)
+    )
+    df = df.withColumn("content", content)
+
+    df = df.withColumn(
+        "repo",
+        F.concat(
+            F.lit("org"), (F.col("_repo_idx") % 20).cast("string"),
+            F.lit("/repo"), F.col("_repo_idx").cast("string"),
+        ),
+    )
+    return df.select("id", "repo", "path", "commit", "lang", "content", "split")
+
+
+def gen_repos(spark: SparkSession, n_repos: int = 200) -> DataFrame:
+    """Parent dimension `repos(repo, org, default_branch)`.
+
+    Omits repos where idx % 97 == 3 (~1%) → known referential orphans
+    in code_files (FIXTURES.md F1 companion dimension).
+    """
+    df = spark.range(n_repos).withColumnRenamed("id", "idx")
+    df = df.filter(F.col("idx") % 97 != 3)
+    return df.select(
+        F.concat(
+            F.lit("org"), (F.col("idx") % 20).cast("string"),
+            F.lit("/repo"), F.col("idx").cast("string"),
+        ).alias("repo"),
+        F.concat(F.lit("org"), (F.col("idx") % 20).cast("string")).alias("org"),
+        F.when(F.col("idx") % 7 == 0, "master").otherwise("main").alias("default_branch"),
+    )

@@ -1,0 +1,28 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tanml_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tanml_spark_tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def code_files(spark):
+    from tanml_spark.sources import gen_code_files
+
+    return gen_code_files(spark, n_rows=5000, n_repos=100).cache()
+
+
+@pytest.fixture(scope="session")
+def repos_dim(spark):
+    from tanml_spark.sources import gen_repos
+
+    return gen_repos(spark, n_repos=100).cache()

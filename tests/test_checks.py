@@ -1,0 +1,62 @@
+"""Duplicates / referential / leakage / IQR checks vs pandas oracles."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.duplicates import duplicate_rows, duplicate_stats
+from tanml_spark.checks.integrity import orphan_rows, overlap_fraction
+from tanml_spark.checks.outliers import iqr_bounds, iqr_outlier_stats
+
+KEYS = ["repo", "path", "commit"]
+
+
+def test_duplicates_match_pandas(code_files):
+    pdf = code_files.toPandas()
+    exp_rows = int(pdf.duplicated(subset=KEYS, keep=False).sum())
+    exp_keys = int((pdf.groupby(KEYS).size() > 1).sum())
+    got = duplicate_stats(code_files, KEYS).collect()[0]
+    assert got["n_rows_duplicated"] == exp_rows
+    assert got["n_keys_duplicated"] == exp_keys
+    assert duplicate_rows(code_files, KEYS).count() == exp_rows
+    assert exp_rows > 0  # fixture knob present
+
+
+def test_orphans_match_pandas(code_files, repos_dim):
+    pdf = code_files.toPandas()
+    parents = set(repos_dim.toPandas()["repo"])
+    exp = int((~pdf["repo"].isin(parents)).sum())
+    got = orphan_rows(code_files, repos_dim, "repo")
+    assert got.count() == exp
+    assert exp > 0  # fixture knob present
+    # broadcast actually used
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_overlap_fraction(code_files):
+    """Duplicated rows that straddle no split boundary -> overlap via
+    shared (repo,path,commit) between train & test subsets of dup pairs
+    is 0 since clones share split; check a constructed overlap."""
+    train = code_files.filter(F.col("split") == "train")
+    test = code_files.filter(F.col("split") == "test")
+    row = overlap_fraction(train, test, KEYS).collect()[0]
+    # clones inherit the src row's split, so cross-split overlap = 0
+    assert row["n_overlap"] == 0
+    # overlap with itself = 100%
+    self_row = overlap_fraction(train, train, KEYS).collect()[0]
+    assert self_row["overlap_frac"] == 1.0
+
+
+def test_iqr_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    vals = np.round(rng.normal(100, 20, 2000), 6).tolist() + [500.0, -300.0, 1000.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    lo, hi = iqr_bounds(df, ["x"], exact=True)["x"]
+    q1, q3 = np.percentile(np.array(vals), [25, 75])  # linear interp, same as Spark exact
+    assert abs(lo - (q1 - 1.5 * (q3 - q1))) < 1e-9
+    assert abs(hi - (q3 + 1.5 * (q3 - q1))) < 1e-9
+    arr = np.array(vals)
+    exp_out = int(((arr < lo) | (arr > hi)).sum())
+    got = iqr_outlier_stats(df, ["x"], exact=True).collect()[0]
+    assert got["n_outliers"] == exp_out
+    assert got["n_outliers"] >= 3

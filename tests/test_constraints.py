@@ -1,0 +1,72 @@
+"""Constraint compiler vs pandas oracle on the code_files fixture."""
+
+from pyspark.sql import functions as F
+
+from tanml_spark.constraints import check_constraints, violation_rows
+
+RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "not_empty", "column": "content", "name": "content_not_empty"},
+    {"type": "length", "column": "content", "min": 50, "max": 6000, "name": "content_len"},
+    {"type": "regex", "column": "commit", "pattern": "^[0-9a-f]{40}$", "name": "commit_hex"},
+    {"type": "in_set", "column": "lang",
+     "values": ["python", "java", "go", "js", "rust", "md"], "name": "lang_domain"},
+    {"type": "expr", "column": "-", "sql": "length(path) < 10", "name": "short_path"},
+]
+
+
+def test_constraint_counts_match_pandas(code_files):
+    pdf = code_files.toPandas()
+    got = {r["rule_id"]: r for r in check_constraints(code_files, RULES).collect()}
+
+    assert got["lang_not_null"]["violations"] == int(pdf["lang"].isna().sum())
+    exp_empty = int((pdf["content"].isna() | (pdf["content"] == "")).sum())
+    assert got["content_not_empty"]["violations"] == exp_empty
+    ln = pdf["content"].str.len()
+    exp_len = int(((ln < 50) | (ln > 6000)).sum())  # NaN compares False, matches isNotNull guard
+    assert got["content_len"]["violations"] == exp_len
+    assert got["commit_hex"]["violations"] == 0
+    assert got["lang_domain"]["violations"] == 0
+    assert got["short_path"]["violations"] == int((pdf["path"].str.len() < 10).sum())
+    for r in got.values():
+        assert r["n_rows"] == len(pdf)
+
+
+def test_verdict_banding(code_files):
+    rules = [
+        {"type": "not_null", "column": "lang", "name": "warn_rule",
+         "warn_frac": 0.0, "fail_frac": 0.5},   # ~2% nulls -> warning
+        {"type": "not_null", "column": "lang", "name": "fail_rule",
+         "warn_frac": 0.0, "fail_frac": 0.001},  # ~2% > 0.1% -> fail
+        {"type": "not_null", "column": "repo", "name": "pass_rule"},
+    ]
+    got = {r["rule_id"]: r["status"] for r in check_constraints(code_files, rules).collect()}
+    assert got == {"warn_rule": "warning", "fail_rule": "fail", "pass_rule": "pass"}
+
+
+def test_grouped_constraints_deterministic(code_files):
+    """Per-group verdicts identical regardless of physical partitioning."""
+    a = check_constraints(code_files.repartition(3), RULES, group_by=["split"])
+    b = check_constraints(code_files.repartition(13), RULES, group_by=["split"])
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_violation_rows_have_stable_hash(code_files):
+    v = violation_rows(code_files, RULES[0])
+    rows = v.select("id", "rule_id", "row_sha256").collect()
+    assert all(len(r["row_sha256"]) == 64 for r in rows)
+    # recompute -> identical hashes (determinism)
+    v2 = {r["id"]: r["row_sha256"] for r in violation_rows(code_files, RULES[0]).collect()}
+    assert {r["id"]: r["row_sha256"] for r in rows} == v2
+
+
+def test_violation_filter_pushdown(spark, tmp_path, code_files):
+    """The violation predicate must reach the parquet scan."""
+    p = str(tmp_path / "cf.parquet")
+    code_files.write.parquet(p)
+    df = spark.read.parquet(p)
+    v = violation_rows(df, {"type": "range", "column": "id", "min": 10, "name": "r"})
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:200]

@@ -1,0 +1,136 @@
+"""PSI/KS parity with the reference formulas (numpy re-implementation
+of /root/reference/tanml/analysis/drift.py:34-113) + the reference's
+own semantic anchors (tests/test_analysis_metrics.py:13-43)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.drift import (
+    analyze_drift,
+    drift_summary,
+    ks_asymp_pvalue,
+    ks_table,
+    psi_table,
+)
+
+
+def ref_psi(expected: np.ndarray, actual: np.ndarray, bins: int = 10) -> float:
+    """Reference PSI formula (drift.py:34-84), numpy only."""
+    expected = expected[~np.isnan(expected)]
+    actual = actual[~np.isnan(actual)]
+    if len(expected) == 0 or len(actual) == 0:
+        return float("nan")
+    _, edges = np.histogram(expected, bins=bins)
+    e = np.histogram(expected, bins=edges)[0] / len(expected)
+    a = np.histogram(actual, bins=edges)[0] / len(actual)
+    eps = 1e-8
+    e = np.where(e == 0, eps, e)
+    a = np.where(a == 0, eps, a)
+    return float(np.sum((a - e) * np.log(a / e)))
+
+
+def ref_ks(expected: np.ndarray, actual: np.ndarray) -> float:
+    """Two-sample KS statistic via ECDFs (ks_2samp equivalent)."""
+    allv = np.sort(np.concatenate([expected, actual]))
+    ce = np.searchsorted(np.sort(expected), allv, side="right") / len(expected)
+    ca = np.searchsorted(np.sort(actual), allv, side="right") / len(actual)
+    return float(np.max(np.abs(ce - ca)))
+
+
+def _df(spark, arr, col="x"):
+    return spark.createDataFrame([(float(v),) for v in arr], f"{col} double")
+
+
+def test_psi_matches_reference_formula(spark):
+    rng = np.random.default_rng(42)
+    e = rng.normal(0, 1, 3000)
+    a = rng.normal(0.5, 1.2, 2500)
+    got = psi_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]["psi"]
+    assert abs(got - ref_psi(e, a)) < 1e-9
+
+
+def test_psi_identical_small(spark):
+    """Reference anchor: identical normals -> PSI < 0.05."""
+    rng = np.random.default_rng(0)
+    e = rng.normal(0, 1, 1000)
+    a = rng.normal(0, 1, 1000)
+    got = psi_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]["psi"]
+    assert got < 0.05
+    assert abs(got - ref_psi(e, a)) < 1e-9
+
+
+def test_psi_nan_on_empty(spark):
+    e = _df(spark, [1.0, 2.0])
+    empty = spark.createDataFrame([], "x double")
+    r1 = psi_table(e, empty, ["x"]).collect()
+    assert len(r1) == 0 or math.isnan(r1[0]["psi"])
+    res = analyze_drift(empty, e, ["x"], with_ks=False).collect()[0]
+    assert math.isnan(res["psi"]) and res["drift_level"] == "unknown"
+
+
+def test_psi_constant_expected(spark):
+    """Degenerate min==max widens edges by ±0.5 like numpy."""
+    e = np.full(100, 7.0)
+    a = np.array([7.0] * 90 + [7.4] * 10)
+    got = psi_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]["psi"]
+    assert abs(got - ref_psi(e, a)) < 1e-9
+
+
+def test_severe_shift_detected(spark):
+    """Reference anchor (+10σ shift => severe, test_analysis_metrics.py:35-43)."""
+    rng = np.random.default_rng(42)
+    e = rng.standard_normal(100)
+    a = rng.standard_normal(100) + 10
+    res = analyze_drift(_df(spark, e), _df(spark, a), ["x"], with_ks=False).collect()[0]
+    assert res["drift_level"] == "severe" and res["has_drift"]
+
+
+def test_ks_matches_ecdf_oracle(spark):
+    rng = np.random.default_rng(7)
+    e = rng.normal(0, 1, 800)
+    a = rng.normal(0.3, 1, 700)
+    got = ks_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]
+    assert abs(got["ks_stat"] - ref_ks(e, a)) < 1e-12
+    p = ks_asymp_pvalue(got["ks_stat"], 800, 700)
+    assert 0.0 <= p < 0.001  # strongly significant shift
+
+
+def test_ks_identical_distribution_pvalue(spark):
+    rng = np.random.default_rng(11)
+    e = rng.normal(0, 1, 1000)
+    a = rng.normal(0, 1, 1000)
+    got = ks_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]
+    p = ks_asymp_pvalue(got["ks_stat"], 1000, 1000)
+    assert p > 0.05
+
+
+def test_multi_column_single_job(spark):
+    """All columns drift-checked in one melted job with exact parity."""
+    rng = np.random.default_rng(5)
+    n = 1000
+    e = {c: rng.normal(i, 1 + i, n) for i, c in enumerate(["u", "v", "w"])}
+    a = {c: rng.normal(i + (0.8 if c == "v" else 0), 1 + i, n) for i, c in enumerate(["u", "v", "w"])}
+    tup = lambda d: [tuple(map(float, t)) for t in zip(*d.values())]
+    edf = spark.createDataFrame(tup(e), "u double, v double, w double")
+    adf = spark.createDataFrame(tup(a), "u double, v double, w double")
+    rows = {r["column"]: r for r in psi_table(edf, adf, ["u", "v", "w"]).collect()}
+    for c in ["u", "v", "w"]:
+        assert abs(rows[c]["psi"] - ref_psi(e[c], a[c])) < 1e-9
+    assert rows["v"]["psi"] > rows["u"]["psi"]
+
+
+def test_drift_summary_status(spark, code_files):
+    train = code_files.filter(F.col("split") == "train").withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    test = code_files.filter(F.col("split") == "test").withColumn(
+        "content_len", F.length("content").cast("double")
+    )
+    res = analyze_drift(train, test, ["content_len"], with_ks=True)
+    summ = drift_summary(res).collect()[0]
+    # fixture injects a strong length shift -> severe -> fail
+    assert summ["overall_status"] == "fail"
+    assert summ["severe_drift_count"] >= 1

@@ -1,0 +1,64 @@
+"""Fixture determinism + fused profile correctness (vs pandas oracle)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tanml_spark.operators import profile, profile_narrow
+from tanml_spark.sources import gen_code_files
+
+
+def test_code_files_shape_and_knobs(code_files):
+    pdf = code_files.toPandas()
+    assert list(pdf.columns) == ["id", "repo", "path", "commit", "lang", "content", "split"]
+    assert len(pdf) == 5000
+    # defect knobs present
+    assert pdf["lang"].isna().mean() > 0.005
+    assert pdf["content"].isna().sum() > 0
+    assert (pdf["content"] == "").sum() > 0
+    # duplicates: id%100==1 clones id-1 on all business cols
+    dups = pdf.duplicated(subset=["repo", "path", "commit"], keep=False)
+    assert dups.sum() >= 80
+    # skew: top repo should own a large share
+    top = pdf["repo"].value_counts(normalize=True).iloc[0]
+    assert top > 0.10
+    # drift: test content longer on average
+    ln = pdf.dropna(subset=["content"]).assign(n=lambda d: d.content.str.len())
+    assert ln[ln.split == "test"].n.mean() > ln[ln.split == "train"].n.mean() + 500
+
+
+def test_generator_parallelism_invariant(spark):
+    """Same table at different partition counts → identical rows."""
+    a = gen_code_files(spark, 1000, 50).repartition(2).orderBy("id").toPandas()
+    b = gen_code_files(spark, 1000, 50).repartition(17).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_profile_matches_pandas(code_files):
+    pdf = code_files.toPandas()
+    row = profile(code_files, columns=["id", "lang", "content"], approx=False).collect()[0]
+    assert row["n_rows"] == len(pdf)
+    assert row["lang__nulls"] == int(pdf["lang"].isna().sum())
+    assert row["lang__distinct"] == pdf["lang"].nunique()
+    assert row["id__min"] == 0 and row["id__max"] == len(pdf) - 1
+    assert abs(row["id__mean"] - pdf["id"].mean()) < 1e-6
+    assert row["content__max_len"] == int(pdf["content"].str.len().max())
+
+
+def test_profile_narrow_melt(code_files):
+    n = profile_narrow(code_files, columns=["lang"], approx=False)
+    rows = {(r["column"], r["stat"]): r["value"] for r in n.collect()}
+    assert ("__all__", "n_rows") in rows
+    assert rows[("lang", "distinct")] == 6.0
+
+
+def test_profile_grouped_deterministic(code_files):
+    a = profile(code_files, columns=["lang"], group_by=["split"], approx=False)
+    got = {r["split"]: r["n_rows"] for r in a.collect()}
+    assert set(got) == {"train", "test"}
+    assert got["train"] + got["test"] == 5000
+
+
+def test_profile_is_single_pass(code_files):
+    plan = profile(code_files, approx=True)._jdf.queryExecution().executedPlan().toString()
+    # one partial+final HashAggregate pair → exactly 2 aggregate nodes
+    assert plan.count("Aggregate(") == 2

@@ -1,0 +1,449 @@
+"""Driver-contract queries: engine operators run on the driver's
+testdata tables, each paired with a DuckDB oracle SQL string
+(__spark_entry__.py contract).
+
+Every query calls the real engine operator (constraints compiler,
+profiler, dup/RI/leakage/IQR/drift checks) — the oracle validates the
+engine, not ad-hoc SQL. Column names and rounding are identical on
+both sides (driver hash-compares values after sorting columns by
+name). Floats are rounded (4-6 dp) on BOTH sides so cross-engine
+summation-order ulp noise can't flip the hash; flags are cast to int
+because boolean rendering differs across engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.drift import drift_level_col, ks_table, psi_table
+from tanml_spark.checks.duplicates import duplicate_rows, duplicate_stats
+from tanml_spark.checks.integrity import orphan_rows, overlap_fraction
+from tanml_spark.checks.outliers import iqr_outlier_stats
+from tanml_spark.checks.profiling import column_risks
+from tanml_spark.constraints import check_constraints, violation_rows
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+DOC_RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "length", "column": "text", "min": 50, "max": 500, "name": "text_len",
+     "warn_frac": 0.0, "fail_frac": 0.05},
+    {"type": "in_set", "column": "lang", "values": ["en", "es", "de", "fr"],
+     "name": "lang_domain", "warn_frac": 0.0, "fail_frac": 0.05},
+    {"type": "regex", "column": "source", "pattern": "^src[0-9]+$", "name": "source_fmt"},
+]
+
+
+# ---------------------------------------------------------------- q: profile
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused one-pass profile of documents, melted narrow (exact mode)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("lang__nulls"),
+        F.count_distinct(F.col("lang")).alias("lang__distinct"),
+        F.count_distinct(F.col("source")).alias("source__distinct"),
+        F.count_distinct(F.col("text")).alias("text__distinct"),
+        F.min("n_chars").alias("n_chars__min"),
+        F.max("n_chars").alias("n_chars__max"),
+        F.round(F.avg("n_chars"), 6).alias("n_chars__mean"),
+        F.min(F.length("text")).alias("text__min_len"),
+        F.max(F.length("text")).alias("text__max_len"),
+    )
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as double)"
+        for c in [
+            "n_rows", "lang__nulls", "lang__distinct", "source__distinct",
+            "text__distinct", "n_chars__min", "n_chars__max", "n_chars__mean",
+            "text__min_len", "text__max_len",
+        ]
+    )
+    return agg.select(F.expr(f"stack(10, {pairs}) as (stat, value)"))
+
+
+SQL_PROFILE_DOCUMENTS = """
+WITH a AS (
+  SELECT count(*)::DOUBLE n_rows,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE lang__nulls,
+         count(DISTINCT lang)::DOUBLE lang__distinct,
+         count(DISTINCT source)::DOUBLE source__distinct,
+         count(DISTINCT text)::DOUBLE text__distinct,
+         min(n_chars)::DOUBLE n_chars__min,
+         max(n_chars)::DOUBLE n_chars__max,
+         round(avg(n_chars), 6)::DOUBLE n_chars__mean,
+         min(length(text))::DOUBLE text__min_len,
+         max(length(text))::DOUBLE text__max_len
+  FROM documents
+)
+SELECT u.stat, u.value FROM a, LATERAL (VALUES
+  ('n_rows', n_rows), ('lang__nulls', lang__nulls),
+  ('lang__distinct', lang__distinct), ('source__distinct', source__distinct),
+  ('text__distinct', text__distinct), ('n_chars__min', n_chars__min),
+  ('n_chars__max', n_chars__max), ('n_chars__mean', n_chars__mean),
+  ('text__min_len', text__min_len), ('text__max_len', text__max_len)
+) u(stat, value)
+"""
+
+
+# ---------------------------------------------------------- q: column risks
+def q_column_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    r = column_risks(docs, columns=["lang", "source", "text"], approx=False)
+    return r.select(
+        F.col("column").alias("column_name"),
+        "n_rows", "nulls", "null_frac", "distinct",
+        F.col("missing_flag").cast("int").alias("missing_flag"),
+        F.col("constant_flag").cast("int").alias("constant_flag"),
+        F.col("high_card_flag").cast("int").alias("high_card_flag"),
+        "status",
+    )
+
+
+SQL_COLUMN_RISKS = """
+WITH s AS (
+  SELECT c.column_name,
+         count(*) AS n_rows,
+         sum(CASE WHEN c.v IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+         count(DISTINCT c.v) AS "distinct"
+  FROM documents, LATERAL (VALUES
+    ('lang', lang), ('source', source), ('text', text)) c(column_name, v)
+  GROUP BY c.column_name
+), f AS (
+  SELECT column_name, n_rows, nulls,
+         round(CASE WHEN n_rows > 0 THEN nulls / n_rows ELSE 0 END, 9) AS null_frac,
+         "distinct",
+         CASE WHEN n_rows > 0 AND nulls / n_rows > 0.05 THEN 1 ELSE 0 END AS missing_flag,
+         CASE WHEN "distinct" <= 1 THEN 1 ELSE 0 END AS constant_flag,
+         CASE WHEN "distinct" > 50 THEN 1 ELSE 0 END AS high_card_flag
+  FROM s
+)
+SELECT column_name, n_rows, nulls, null_frac, "distinct",
+       missing_flag, constant_flag, high_card_flag,
+       CASE WHEN constant_flag = 1 THEN 'fail'
+            WHEN missing_flag = 1 OR high_card_flag = 1 THEN 'warning'
+            ELSE 'pass' END AS status
+FROM f
+"""
+
+
+# ----------------------------------------------------------- q: constraints
+def q_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return check_constraints(docs, DOC_RULES)
+
+
+SQL_CONSTRAINTS = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN text IS NOT NULL AND (length(text) < 50 OR length(text) > 500)
+        THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','es','de','fr')
+        THEN 1 ELSE 0 END) AS v3,
+    sum(CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+        THEN 1 ELSE 0 END) AS v4
+  FROM documents
+), n AS (
+  SELECT n_rows, u.* FROM agg, LATERAL (VALUES
+    ('lang_not_null', v1, 0.0, 0.05),
+    ('text_len',      v2, 0.0, 0.05),
+    ('lang_domain',   v3, 0.0, 0.05),
+    ('source_fmt',    v4, 0.0, 0.05)
+  ) u(rule_id, violations, warn_frac, fail_frac)
+)
+SELECT rule_id, n_rows, violations::BIGINT AS violations,
+  round(CASE WHEN n_rows > 0 THEN violations / n_rows ELSE 0 END, 9) AS violation_frac,
+  CASE WHEN (CASE WHEN n_rows > 0 THEN violations / n_rows ELSE 0 END) > fail_frac THEN 'fail'
+       WHEN (CASE WHEN n_rows > 0 THEN violations / n_rows ELSE 0 END) > warn_frac THEN 'warning'
+       ELSE 'pass' END AS status
+FROM n
+"""
+
+
+# ------------------------------------------------------- q: violation rows
+def q_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = violation_rows(
+        docs,
+        {"type": "length", "column": "text", "min": 50, "max": 500, "name": "text_len"},
+        id_cols=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return v.select("doc_id", "rule_id", "row_sha256")
+
+
+SQL_VIOLATION_ROWS = """
+SELECT doc_id, 'text_len' AS rule_id,
+  sha256(concat_ws('|',
+    coalesce(doc_id::VARCHAR, chr(0) || 'NULL'),
+    coalesce(text, chr(0) || 'NULL'),
+    coalesce(lang, chr(0) || 'NULL'),
+    coalesce(source, chr(0) || 'NULL'),
+    coalesce(n_chars::VARCHAR, chr(0) || 'NULL'))) AS row_sha256
+FROM documents
+WHERE text IS NOT NULL AND (length(text) < 50 OR length(text) > 500)
+"""
+
+
+# --------------------------------------------------------- q: duplicates
+def q_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_stats(li, ["l_orderkey"])
+
+
+SQL_DUPLICATE_STATS = """
+SELECT count(*) AS n_keys_duplicated,
+       coalesce(sum(c), 0)::BIGINT AS n_rows_duplicated
+FROM (SELECT l_orderkey, count(*) c FROM lineitem GROUP BY 1 HAVING count(*) > 1)
+"""
+
+
+def q_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return duplicate_rows(li, ["l_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "dup_count"
+    )
+
+
+SQL_DUPLICATE_ROWS = """
+SELECT l_orderkey, l_linenumber, dup_count FROM (
+  SELECT l_orderkey, l_linenumber,
+         count(*) OVER (PARTITION BY l_orderkey) AS dup_count
+  FROM lineitem
+) WHERE dup_count > 1
+"""
+
+
+# ------------------------------------------------- q: referential integrity
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    a = orphan_rows(orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+                    "o_custkey").agg(F.count(F.lit(1)).alias("orphans")).select(
+        F.lit("orders->customer").alias("relation"), "orphans")
+    b = orphan_rows(lineitem, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey").agg(F.count(F.lit(1)).alias("orphans")).select(
+        F.lit("lineitem->orders").alias("relation"), "orphans")
+    return a.unionByName(b)
+
+
+SQL_REFERENTIAL_ORPHANS = """
+SELECT 'orders->customer' AS relation,
+       (SELECT count(*) FROM orders o ANTI JOIN customer c
+        ON o.o_custkey = c.c_custkey) AS orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        ON l.l_orderkey = o.o_orderkey)
+"""
+
+
+# ------------------------------------------------------------- q: leakage
+def q_leakage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    train = li.filter(F.col("l_linenumber") == 1).select("l_orderkey")
+    test = li.filter(F.col("l_linenumber") == 2).select("l_orderkey")
+    return overlap_fraction(train, test, ["l_orderkey"])
+
+
+SQL_LEAKAGE_OVERLAP = """
+WITH tr AS (SELECT DISTINCT sha256(l_orderkey::VARCHAR) h FROM lineitem WHERE l_linenumber = 1),
+     te AS (SELECT sha256(l_orderkey::VARCHAR) h FROM lineitem WHERE l_linenumber = 2)
+SELECT (SELECT count(*) FROM te) AS n_test,
+       (SELECT count(*) FROM te SEMI JOIN tr ON te.h = tr.h) AS n_overlap,
+       round((SELECT count(*) FROM te SEMI JOIN tr ON te.h = tr.h)
+             / (SELECT count(*) FROM te), 9) AS overlap_frac
+"""
+
+
+# --------------------------------------------------------- q: IQR outliers
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = iqr_outlier_stats(docs, ["n_chars"], exact=True)
+    return s.select(
+        F.col("column").alias("column_name"), "n_rows", "n_outliers",
+        "outlier_frac", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
+    )
+
+
+SQL_IQR_OUTLIERS = """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.25) q1, quantile_cont(n_chars, 0.75) q3
+  FROM documents
+), b AS (
+  SELECT q1 - 1.5 * (q3 - q1) lo, q3 + 1.5 * (q3 - q1) hi FROM q
+)
+SELECT 'n_chars' AS column_name,
+       (SELECT count(*) FROM documents) AS n_rows,
+       (SELECT count(*) FROM documents, b
+        WHERE n_chars IS NOT NULL AND (n_chars < lo OR n_chars > hi)) AS n_outliers,
+       round((SELECT count(*) FROM documents, b
+        WHERE n_chars IS NOT NULL AND (n_chars < lo OR n_chars > hi))
+        / (SELECT count(*) FROM documents), 9) AS outlier_frac,
+       round(lo, 6) AS lo, round(hi, 6) AS hi
+FROM b
+"""
+
+
+# ----------------------------------------------------------------- q: PSI
+def _doc_halves(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_chars_d", F.col("n_chars").cast("double")
+    )
+    e = docs.filter(F.col("doc_id") % 2 == 0).select(F.col("n_chars_d").alias("n_chars"))
+    a = docs.filter(F.col("doc_id") % 2 == 1).select(F.col("n_chars_d").alias("n_chars"))
+    return e, a
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, a = _doc_halves(spark, sf_dir)
+    p = psi_table(e, a, ["n_chars"])
+    return p.select(F.col("column").alias("column_name"), F.round("psi", 6).alias("psi"))
+
+
+_SQL_VALS = """
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'e' ELSE 'a' END side,
+         n_chars::DOUBLE AS value
+  FROM documents WHERE n_chars IS NOT NULL
+"""
+
+SQL_PSI = f"""
+WITH vals AS ({_SQL_VALS}),
+edges AS (SELECT min(value) lo, max(value) hi, count(*) n_e FROM vals WHERE side = 'e'),
+na AS (SELECT count(*) n_a FROM vals WHERE side = 'a'),
+b AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / 10)) AS INT), 9) bucket, side
+  FROM vals, edges WHERE value >= lo AND value <= hi
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN side = 'e' THEN 1 ELSE 0 END) ce,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) ca
+  FROM b GROUP BY bucket
+)
+SELECT 'n_chars' AS column_name,
+  round(sum(
+    (greatest(ca / (SELECT n_a FROM na), 1e-8)
+     - greatest(ce / (SELECT n_e FROM edges), 1e-8))
+    * ln(greatest(ca / (SELECT n_a FROM na), 1e-8)
+         / greatest(ce / (SELECT n_e FROM edges), 1e-8))
+  ), 6) AS psi
+FROM counts
+"""
+
+
+# ------------------------------------------------------------------ q: KS
+def q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, a = _doc_halves(spark, sf_dir)
+    k = ks_table(e, a, ["n_chars"])
+    return k.select(
+        F.col("column").alias("column_name"), F.round("ks_stat", 6).alias("ks_stat")
+    )
+
+
+SQL_KS = f"""
+WITH vals AS ({_SQL_VALS}),
+perval AS (
+  SELECT value,
+         sum(CASE WHEN side = 'e' THEN 1 ELSE 0 END) ce,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) ca
+  FROM vals GROUP BY value
+),
+cum AS (
+  SELECT sum(ce) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) cum_e,
+         sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) cum_a,
+         sum(ce) OVER () n_e, sum(ca) OVER () n_a
+  FROM perval
+)
+SELECT 'n_chars' AS column_name,
+       round(max(abs(cum_e / n_e - cum_a / n_a)), 6) AS ks_stat
+FROM cum
+"""
+
+
+# -------------------------------------------------------- q: drift verdict
+def q_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, a = _doc_halves(spark, sf_dir)
+    p = psi_table(e, a, ["n_chars"])
+    return p.select(
+        F.col("column").alias("column_name"),
+        F.round("psi", 6).alias("psi"),
+        drift_level_col(F.col("psi")).alias("drift_level"),
+    )
+
+
+SQL_DRIFT_VERDICT = f"""
+WITH p AS ({SQL_PSI})
+SELECT column_name, psi,
+  CASE WHEN psi IS NULL OR isnan(psi) THEN 'unknown'
+       WHEN psi >= 0.2 THEN 'severe'
+       WHEN psi >= 0.1 THEN 'moderate'
+       ELSE 'none' END AS drift_level
+FROM p
+"""
+
+
+# ------------------------------------------------ q: grouped fused profile
+def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+SQL_GROUPED_PROFILE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "profile_documents": q_profile_documents,
+        "column_risks": q_column_risks,
+        "constraints": q_constraints,
+        "violation_rows": q_violation_rows,
+        "duplicate_stats": q_duplicate_stats,
+        "duplicate_rows": q_duplicate_rows,
+        "referential_orphans": q_referential_orphans,
+        "leakage_overlap": q_leakage_overlap,
+        "iqr_outliers": q_iqr_outliers,
+        "psi": q_psi,
+        "ks": q_ks,
+        "drift_verdict": q_drift_verdict,
+        "grouped_profile": q_grouped_profile,
+    }
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        "profile_documents": SQL_PROFILE_DOCUMENTS,
+        "column_risks": SQL_COLUMN_RISKS,
+        "constraints": SQL_CONSTRAINTS,
+        "violation_rows": SQL_VIOLATION_ROWS,
+        "duplicate_stats": SQL_DUPLICATE_STATS,
+        "duplicate_rows": SQL_DUPLICATE_ROWS,
+        "referential_orphans": SQL_REFERENTIAL_ORPHANS,
+        "leakage_overlap": SQL_LEAKAGE_OVERLAP,
+        "iqr_outliers": SQL_IQR_OUTLIERS,
+        "psi": SQL_PSI,
+        "ks": SQL_KS,
+        "drift_verdict": SQL_DRIFT_VERDICT,
+        "grouped_profile": SQL_GROUPED_PROFILE,
+    }

@@ -20,10 +20,11 @@ from pyspark.sql import types as T
 
 
 def _stringify(col: Column, dtype: T.DataType) -> Column:
-    # Round floats to 9 dp before stringifying so hashes are stable
-    # across float formatting differences (reference: services/data.py:84).
+    # Round floats to 9 dp and render via decimal(38,9) so the string
+    # form is canonical ('44473.560000000') across engines/locales
+    # (reference rounding precedent: services/data.py:84).
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
-        return F.format_number(F.round(col, 9), 9)
+        return F.round(col, 9).cast(T.DecimalType(38, 9)).cast("string")
     if isinstance(dtype, T.TimestampType):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     return col.cast("string")

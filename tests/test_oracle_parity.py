@@ -1,0 +1,64 @@
+"""Replicates the driver's DuckDB-oracle comparison locally at sf0.001:
+row count + schema-width + order-insensitive value equality per query."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(df):
+    """Sort columns by name, round floats, sort rows — driver-style."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                row.append("nan" if math.isnan(v) else f"{round(v, 6):.6f}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = q(spark, SF_DIR).toPandas()
+    exp = ddb.execute(sql).fetchdf()
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    assert len(got.columns) == len(exp.columns), f"{name}: schema width"
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: column names"
+    g, e = _norm(got), _norm(exp)
+    assert g == e, f"{name}: value mismatch\nspark={g[:5]}\noracle={e[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"rule_id", "status"} <= set(df.columns)

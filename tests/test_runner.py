@@ -1,0 +1,74 @@
+"""Runner: checkpoint/resume + verdict determinism (north-rule reqs)."""
+
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import DEFAULT_REGISTRY, ValidationContext
+from tanml_spark.functions.hashing import logical_partition
+from tanml_spark.runner import ValidationRunner, suite_verdict
+
+RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null", "fail_frac": 0.5},
+    {"type": "length", "column": "content", "min": 1, "name": "content_nonempty"},
+]
+
+
+def _verdict_set(df):
+    return sorted(
+        (r["check"], r["partition_key"], r["status"], r["metric"], round(r["value"], 9))
+        for r in df.collect()
+    )
+
+
+def test_resume_produces_identical_verdicts(spark, code_files, tmp_path):
+    # single-shot run
+    full = ValidationRunner(spark, str(tmp_path / "full"), n_buckets=16)
+    v_full = _verdict_set(full.run_constraints(code_files, RULES))
+
+    # interrupted run: first invocation only sees half the partitions
+    # (as if the job was killed after they committed), then resumes.
+    part = logical_partition(F.col("repo"), 16).cast("string")
+    halved = code_files.filter(part.cast("int") < 8)
+    res = ValidationRunner(spark, str(tmp_path / "resumed"), n_buckets=16)
+    res.run_constraints(halved, RULES)
+    state1 = res.read_state().count()
+    assert 0 < state1 < 16
+
+    v_res = _verdict_set(res.run_constraints(code_files, RULES))
+    assert v_res == v_full
+
+    # idempotence: a third run recomputes nothing and changes nothing
+    state2 = res.read_state().count()
+    v_again = _verdict_set(res.run_constraints(code_files, RULES))
+    assert v_again == v_full
+    assert res.read_state().count() == state2 == 16
+
+
+def test_verdicts_invariant_to_physical_partitioning(spark, code_files, tmp_path):
+    a = ValidationRunner(spark, str(tmp_path / "a"), n_buckets=16)
+    b = ValidationRunner(spark, str(tmp_path / "b"), n_buckets=16)
+    va = _verdict_set(a.run_constraints(code_files.repartition(2), RULES))
+    vb = _verdict_set(b.run_constraints(code_files.repartition(29), RULES))
+    assert va == vb
+
+
+def test_suite_run_and_registry(spark, code_files, repos_dim, tmp_path):
+    ctx = ValidationContext(
+        df=code_files,
+        reference_df=code_files.filter(F.col("split") == "train"),
+        dims={"repos": repos_dim},
+        config={"unique_keys": ["repo", "path", "commit"], "with_ks": False,
+                "drift_columns": []},
+    )
+    names = DEFAULT_REGISTRY.names()
+    assert {"column_risks", "uniqueness", "referential_integrity", "leakage", "drift"} <= set(
+        names
+    )
+    r = ValidationRunner(spark, str(tmp_path / "suite"))
+    results = r.run_suite(ctx, checks=["column_risks", "uniqueness", "referential_integrity"])
+    assert set(results) == {"column_risks", "uniqueness", "referential_integrity"}
+    assert results["uniqueness"].metrics["n_rows_duplicated"] > 0
+    assert results["referential_integrity"].metrics["n_orphans"] > 0
+    assert suite_verdict(results).value in {"pass", "warning", "fail"}
+    # resume skips completed checks
+    again = r.run_suite(ctx, checks=["column_risks", "uniqueness", "referential_integrity"])
+    assert again == {}

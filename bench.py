@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Times (a) the full validation-check suite — fused profile, constraint
+pass, uniqueness, referential integrity, IQR, PSI/KS drift — over a
+deterministic synthetic `code_files` table (the north-rule input), and
+(b) each driver-contract query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "files_per_sec": ...,
+   "suite_sec": ..., "n_files": ..., "verdict_sha256": ...}
+
+`verdict_sha256` is the content hash of the suite's verdict rows —
+identical across parallelism levels (the north-rule determinism
+invariant); scripts/bench_scaling.py compares it between local[8]
+and local[32] runs.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), TANML_BENCH_ROWS (default 1e6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tanml_spark.session import get_spark  # noqa: E402
+from tanml_spark.sources.code_files import gen_code_files, gen_repos  # noqa: E402
+from tanml_spark.suite import run_fused_suite  # noqa: E402
+
+SUITE_RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "not_empty", "column": "content", "name": "content_not_empty"},
+    {"type": "length", "column": "content", "min": 50, "max": 20000, "name": "content_len"},
+    {"type": "regex", "column": "commit", "pattern": "^[0-9a-f]{40}$", "name": "commit_hex"},
+    {"type": "in_set", "column": "lang",
+     "values": ["python", "java", "go", "js", "rust", "md"], "name": "lang_domain"},
+    # Secret/content scanning — the realistic rule battery a source-code
+    # validation suite runs per file (violation = pattern present).
+    {"type": "expr", "column": "-", "name": "no_aws_key",
+     "sql": "content rlike 'AKIA[0-9A-Z]{16}'"},
+    {"type": "expr", "column": "-", "name": "no_private_key",
+     "sql": "content rlike '-----BEGIN [A-Z ]*PRIVATE KEY-----'"},
+    {"type": "expr", "column": "-", "name": "no_hardcoded_password",
+     "sql": "content rlike 'password\\\\s*=\\\\s*[\\'\"][^\\'\"]{8,}'"},
+    {"type": "expr", "column": "-", "name": "no_jwt",
+     "sql": "content rlike 'eyJ[A-Za-z0-9_-]{10,}\\\\.'"},
+    {"type": "expr", "column": "-", "name": "no_api_key_assign",
+     "sql": "content rlike '(?i)api[_-]?key\\\\s*[:=]'"},
+]
+
+
+def run_suite(spark, data_path: str, repos_df) -> tuple[float, int, str]:
+    """Timed fused check suite (4 passes: grouped fused agg, condensed
+    drift stats, uniqueness keys, FK anti-join) over the code_files
+    parquet. Returns (seconds, n_files, verdict_sha256)."""
+    t0 = time.time()
+    df = spark.read.parquet(data_path)
+    res = run_fused_suite(
+        df,
+        rules=SUITE_RULES,
+        unique_keys=["repo", "path", "commit"],
+        repos_df=repos_df,
+        fk_key="repo",
+        drift_exprs={"content_len": F.length("content")},
+        profile_cols=["repo", "lang", "content"],
+        n_buckets=64,
+    )
+    verdicts = res.partition_verdicts.collect()
+    sec = time.time() - t0
+
+    n_files = int(res.global_profile["n_rows"])
+    h = hashlib.sha256()
+    for row in sorted(
+        (r["partition_key"], r["rule_id"], r["status"], f"{r['violation_frac']:.9f}")
+        for r in verdicts
+    ):
+        h.update("|".join(row).encode())
+    h.update(
+        f"dup={res.dup_stats['n_rows_duplicated']};orph={res.n_orphans};"
+        f"psi={res.drift['content_len']['psi']:.9f};"
+        f"ks={res.drift['content_len']['ks_stat']:.9f};"
+        f"iqr={res.iqr['content_len']['n_outliers']};"
+        f"status={res.overall_status}".encode()
+    )
+    return sec, n_files, h.hexdigest()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("TANML_BENCH_ROWS", "4000000"))
+    reps = int(os.environ.get("TANML_BENCH_REPS", "1"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark("tanml_bench", cores=cpus, shuffle_partitions=cpus)
+
+    # Materialize the synthetic code_files input once (parquet, like the
+    # real Iceberg source); generation/write time is NOT part of the suite.
+    workdir = tempfile.mkdtemp(prefix="tanml_bench_")
+    data_path = os.path.join(workdir, "code_files")
+    n_repos = max(200, n_rows // 500)
+    gen_code_files(
+        spark, n_rows=n_rows, n_repos=n_repos, content_min=100, content_max=600
+    ).write.parquet(data_path)
+    repos_df = gen_repos(spark, n_repos=n_repos).cache()
+    repos_df.count()
+
+    # Untimed warmup on a small clone: JIT/codegen + reader init, so the
+    # timed number is steady-state throughput (what a long-running
+    # cluster job sees), not JVM cold-start.
+    warm_path = os.path.join(workdir, "warmup")
+    gen_code_files(spark, n_rows=20_000, n_repos=200).write.parquet(warm_path)
+    run_suite(spark, warm_path, repos_df)
+
+    # Best-of-reps steady state; verdict hash must be identical per rep.
+    timings: dict[str, float] = {}
+    suite_sec, n_files, verdict_hash = run_suite(spark, data_path, repos_df)
+    for _ in range(reps - 1):
+        sec2, _n, h2 = run_suite(spark, data_path, repos_df)
+        assert h2 == verdict_hash, "verdict hash changed between reps"
+        suite_sec = min(suite_sec, sec2)
+    timings["suite"] = round(suite_sec, 3)
+
+    from tanml_spark.entry_queries import all_queries
+
+    for name, q in sorted(all_queries().items()):
+        t0 = time.time()
+        q(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "validation suite + driver queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "suite_sec": round(suite_sec, 3),
+        "n_files": int(n_files),
+        "files_per_sec": round(n_files / suite_sec, 1),
+        "cpus": cpus,
+        "verdict_sha256": verdict_hash,
+    }))
+
+
+if __name__ == "__main__":
+    main()

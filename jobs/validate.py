@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north-rule packaging requirement).
+
+Usage (cluster):
+    zip -r engine.zip tanml_spark
+    spark-submit --py-files engine.zip jobs/validate.py \\
+        --input  <parquet/iceberg path of (repo,path,commit,lang,content)> \\
+        --parent <parquet path of repos dim (optional)> \\
+        --run-dir <output/checkpoint dir> \\
+        --rules  <rules.json (list of rule specs)> \\
+        [--resume] [--n-buckets 256]
+
+On an Iceberg catalog, --input accepts a table name when the session
+is configured with an Iceberg catalog (spark.read.table fallback).
+A killed run re-submitted with --resume recomputes only unfinished
+logical partitions (runner anti-joins the checkpoint state).
+
+Scale notes (1000-executor / 10^12-file deployment):
+- bucket the table by hash(repo) to make the uniqueness groupBy and
+  the per-partition verdict agg shuffle-free;
+- AQE (enabled by the engine session) splits skewed shuffle partitions
+  from mega-repos; the logical-partition verdict keying is independent
+  of that physical re-planning, so outputs stay byte-identical;
+- size --n-buckets so each logical partition is a few GB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--parent", default=None)
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--rules", default=None, help="JSON file with rule specs")
+    ap.add_argument("--partition-key", default="repo")
+    ap.add_argument("--unique-keys", default="repo,path,commit")
+    ap.add_argument("--fk-key", default="repo")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("tanml_spark_validate").getOrCreate()
+
+    from tanml_spark.checks.base import ValidationContext
+    from tanml_spark.runner import ValidationRunner, suite_verdict
+
+    try:
+        df = spark.read.parquet(args.input)
+    except Exception:
+        df = spark.read.table(args.input)
+    parent = spark.read.parquet(args.parent) if args.parent else None
+
+    if args.rules:
+        with open(args.rules) as f:
+            rules = json.load(f)
+    else:
+        rules = [
+            {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+            {"type": "not_empty", "column": "content", "name": "content_not_empty"},
+            {"type": "regex", "column": "commit", "pattern": "^[0-9a-f]{40}$",
+             "name": "commit_hex"},
+        ]
+
+    runner = ValidationRunner(
+        spark, args.run_dir, n_buckets=args.n_buckets,
+        partition_key_col=args.partition_key,
+    )
+    verdicts = runner.run_constraints(df, rules, resume=args.resume)
+    n = verdicts.count()
+
+    ctx = ValidationContext(
+        df=df,
+        reference_df=df.filter(F.col("split") == "train") if "split" in df.columns else None,
+        dims={"repos": parent} if parent is not None else {},
+        config={"unique_keys": args.unique_keys.split(",")},
+    )
+    checks = ["column_risks", "uniqueness", "iqr_outliers"]
+    if parent is not None:
+        checks.append("referential_integrity")
+    if ctx.reference_df is not None:
+        checks += ["leakage", "drift"]
+    results = runner.run_suite(ctx, checks=checks, resume=args.resume)
+
+    print(json.dumps({
+        "verdict_rows": n,
+        "suite": {k: v.status.value for k, v in results.items()},
+        "overall": suite_verdict(results).value if results else "resumed",
+        "run_dir": args.run_dir,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,17 +46,29 @@ def _melt(df: DataFrame, columns: list[str], side: str) -> DataFrame:
     return stacked.filter(F.col("value").isNotNull()).withColumn("side", F.lit(side))
 
 
-def psi_table(
-    expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10
-) -> DataFrame:
-    """Per-column PSI: returns (column, psi). NaN when a side is empty."""
-    m = _melt(expected, columns, "e").unionByName(_melt(actual, columns, "a"))
+def condense(expected: DataFrame, actual: DataFrame, columns: list[str]) -> DataFrame:
+    """ONE scan of each side → per-(column, value) sufficient statistics
+    ``(column, value, ce, ca)``.
 
+    Both PSI and KS are pure functions of these counts, so the raw data
+    (and the wide `content` column at 10^12 scale) is read exactly once
+    per side; everything downstream operates on the condensed table
+    whose size is bounded by distinct values per column, not rows.
+    """
+    m = _melt(expected, columns, "e").unionByName(_melt(actual, columns, "a"))
+    return m.groupBy("column", "value").agg(
+        F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+    )
+
+
+def psi_from_condensed(cond: DataFrame, bins: int = 10) -> DataFrame:
+    """(column, psi) from the condensed counts. NaN when actual empty."""
     edges = (
-        m.filter(F.col("side") == "e")
+        cond.filter(F.col("ce") > 0)
         .groupBy("column")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
-             F.count(F.lit(1)).alias("n_e"))
+             F.sum("ce").alias("n_e"))
     )
     # numpy: constant data widens range by +-0.5
     edges = edges.withColumn(
@@ -64,11 +76,9 @@ def psi_table(
     ).withColumn(
         "hi2", F.when(F.col("lo") == F.col("hi"), F.col("hi") + 0.5).otherwise(F.col("hi"))
     )
-    n_actual = (
-        m.filter(F.col("side") == "a").groupBy("column").agg(F.count(F.lit(1)).alias("n_a"))
-    )
+    n_actual = cond.groupBy("column").agg(F.sum("ca").alias("n_a"))
 
-    j = m.join(F.broadcast(edges), "column").join(F.broadcast(n_actual), "column", "left")
+    j = cond.join(F.broadcast(edges), "column").join(F.broadcast(n_actual), "column")
     width = (F.col("hi2") - F.col("lo2")) / bins
     in_range = (F.col("value") >= F.col("lo2")) & (F.col("value") <= F.col("hi2"))
     bucket = F.least(
@@ -77,44 +87,37 @@ def psi_table(
     j = j.filter(in_range).withColumn("bucket", bucket)
 
     counts = j.groupBy("column", "bucket").agg(
-        F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("cnt_e"),
-        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("cnt_a"),
+        F.sum("ce").alias("cnt_e"),
+        F.sum("ca").alias("cnt_a"),
         F.first("n_e").alias("n_e"),
         F.first("n_a").alias("n_a"),
     )
-    # try_divide: ANSI-safe; an empty actual side yields NULL -> the
-    # psi is overridden to NaN below anyway (reference drift.py:59-60).
+    # try_divide: ANSI-safe; an empty actual side (n_a=0) yields NULL ->
+    # overridden to NaN below (reference drift.py:59-60).
     e_pct = F.greatest(F.try_divide(F.col("cnt_e"), F.col("n_e")), F.lit(EPS))
     a_pct = F.greatest(F.try_divide(F.col("cnt_a"), F.col("n_a")), F.lit(EPS))
     term = (a_pct - e_pct) * F.log(a_pct / e_pct)
     psi = counts.groupBy("column").agg(F.sum(term).alias("psi_raw"),
                                        F.first("n_a").alias("n_a"))
-    # NaN when actual side empty (reference drift.py:59-60); columns with
-    # empty expected never appear -> caller fills NaN via left join.
     return psi.select(
         "column",
-        F.when(F.col("n_a").isNull(), F.lit(float("nan")))
+        F.when((F.col("n_a") == 0) | F.col("psi_raw").isNull(), F.lit(float("nan")))
         .otherwise(F.col("psi_raw"))
         .alias("psi"),
     )
 
 
-def ks_table(expected: DataFrame, actual: DataFrame, columns: list[str]) -> DataFrame:
-    """Exact two-sample KS statistic per column: (column, ks_stat).
+def ks_from_condensed(cond: DataFrame) -> DataFrame:
+    """Exact KS statistic from condensed counts: (column, ks_stat, n_e, n_a).
 
-    ECDF sup-diff over the pooled sample. Needs a per-column sort
-    (window); for 10^12-scale use ks_bins() instead.
-    """
-    m = _melt(expected, columns, "e").unionByName(_melt(actual, columns, "a"))
-    per_val = m.groupBy("column", "value").agg(
-        F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("ce"),
-        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
-    )
+    ECDF sup-diff needs a per-column ordering — over DISTINCT values
+    only (the condensed table), so the sort size is bounded by value
+    cardinality, not row count."""
     w = Window.partitionBy("column").orderBy("value").rowsBetween(
         Window.unboundedPreceding, 0
     )
     tot = Window.partitionBy("column")
-    cum = per_val.withColumn("cum_e", F.sum("ce").over(w)).withColumn(
+    cum = cond.withColumn("cum_e", F.sum("ce").over(w)).withColumn(
         "cum_a", F.sum("ca").over(w)
     ).withColumn("n_e", F.sum("ce").over(tot)).withColumn("n_a", F.sum("ca").over(tot))
     diff = F.abs(F.col("cum_e") / F.col("n_e") - F.col("cum_a") / F.col("n_a"))
@@ -124,6 +127,18 @@ def ks_table(expected: DataFrame, actual: DataFrame, columns: list[str]) -> Data
         .agg(F.max(diff).alias("ks_stat"), F.first("n_e").alias("n_e"),
              F.first("n_a").alias("n_a"))
     )
+
+
+def psi_table(
+    expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10
+) -> DataFrame:
+    """Per-column PSI: returns (column, psi). NaN when a side is empty."""
+    return psi_from_condensed(condense(expected, actual, columns), bins)
+
+
+def ks_table(expected: DataFrame, actual: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact two-sample KS statistic per column: (column, ks_stat, n_e, n_a)."""
+    return ks_from_condensed(condense(expected, actual, columns))
 
 
 def ks_asymp_pvalue(d: float, n: int, m: int, terms: int = 100) -> float:
@@ -160,10 +175,11 @@ def analyze_drift(
 ) -> DataFrame:
     """(column, psi, ks_stat, ks_pvalue, has_drift, drift_level)."""
     spark = expected.sparkSession
+    cond = condense(expected, actual, columns).cache()
     base = spark.createDataFrame([(c,) for c in columns], "column string")
-    out = base.join(psi_table(expected, actual, columns), "column", "left")
+    out = base.join(psi_from_condensed(cond), "column", "left")
     if with_ks:
-        ks = ks_table(expected, actual, columns)
+        ks = ks_from_condensed(cond)
         out = out.join(ks, "column", "left")
         rows = out.collect()
         pvals = [

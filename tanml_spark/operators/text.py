@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in Spark SQL expressions (JVM,
+whole-stage-codegen) — no Python UDFs: language-ID and quality scoring
+use tokenized stopword intersection via higher-order array functions;
+token counting is regex splitting; fingerprinting is xxhash64 over
+character shingles.
+
+These extend the reference's scope (its text handling is limited to
+categorical encoding) to what a 100 TB corpus pipeline needs; they are
+first-class engine operators with DuckDB oracles where expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^\\p{L}\\p{N}_]+"  # split on non-alphanumerics (unicode)
+WS_PATTERN = "\\s+"
+
+# Tiny per-language stopword seeds for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+}
+
+
+def tokens(col: Column, lower: bool = True) -> Column:
+    """Whitespace-ish tokenization as an array column (JVM-side)."""
+    c = F.lower(col) if lower else col
+    arr = F.split(F.trim(c), WS_PATTERN)
+    # trim of empty string yields [''] — normalize to []
+    return F.filter(arr, lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col, lower=False))
+
+
+def stopword_hits(tok: Column, lang: str) -> Column:
+    """# tokens that are stopwords of `lang` (multiset semantics)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+
+
+def lang_scores(col: Column) -> list[Column]:
+    tok = tokens(col)
+    return [stopword_hits(tok, lang).alias(f"score_{lang}") for lang in STOPWORDS]
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-language stopword scores + argmax prediction.
+
+    Deterministic tie-break: higher score wins, then lexicographic
+    language code (stable across engines/parallelism). Texts with zero
+    stopword hits → 'und' (undetermined).
+    """
+    out = df.select("*", *lang_scores(F.col(text_col)))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length quality signals.
+
+    One projection — fuses into whatever scan feeds it."""
+    c = F.col(text_col)
+    tok = tokens(c)
+    n_tok = F.size(tok)
+    n_chars = F.length(c)
+    sw_all = F.array(*[F.lit(w) for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(sw_all, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, "[\\p{Punct}]", ""))
+    mean_word_len = F.try_divide(
+        F.aggregate(tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)),
+        n_tok.cast("long"),
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.round(F.try_divide(n_punct.cast("double"), n_chars), 9).alias("q_punct_ratio"),
+        F.round(F.try_divide(n_stop.cast("double"), n_tok), 9).alias("q_stopword_ratio"),
+        F.round(mean_word_len, 9).alias("q_mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_punct_ratio: float = 0.3) -> DataFrame:
+    """Composite 0-1 quality score + keep/drop flag (heuristic gate)."""
+    qf = quality_features(df, text_col)
+    # base 0.5, −up to 0.5 for punctuation density, +up to 0.5 for
+    # natural-language stopword evidence; <min_tokens ⇒ 0.
+    punct_pen = F.least(
+        F.lit(1.0), F.coalesce(F.col("q_punct_ratio"), F.lit(1.0)) / F.lit(max_punct_ratio)
+    ) * 0.5
+    stop_bonus = F.least(
+        F.coalesce(F.col("q_stopword_ratio"), F.lit(0.0)) * 2.0, F.lit(0.5)
+    )
+    score = F.when(F.col("q_n_tokens") < min_tokens, 0.0).otherwise(
+        F.lit(0.5) - punct_pen + stop_bonus
+    )
+    score = F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), score)), 9)
+    return qf.withColumn("q_score", score).withColumn(
+        "q_keep", (F.col("q_score") >= 0.5).cast("int")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
+                out_col: str = "fingerprint") -> DataFrame:
+    """Rolling-hash document fingerprint: min of xxhash64 over k-char
+    shingles (a 1-permutation MinHash — stable content signature that
+    survives small reorderings better than a whole-string hash)."""
+    c = F.col(text_col)
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    fp = F.when(c.isNull(), None).otherwise(
+        F.when(n >= k, F.array_min(sh)).otherwise(F.xxhash64(c))
+    )
+    return df.withColumn(out_col, fp)

@@ -38,6 +38,8 @@ def gen_code_files(
     n_rows: int = 10_000,
     n_repos: int = 200,
     drift: bool = True,
+    content_min: int = 100,
+    content_max: int = 5000,
 ) -> DataFrame:
     """Build code_files with `split` in {train, test} (80/20 by src id)."""
     df = spark.range(n_rows)
@@ -105,9 +107,10 @@ def gen_code_files(
         ),
     )
 
-    # content: pseudo-source, train len ~100-5000, test len ~600-10000.
-    base_len = (F.lit(100) + (h(9) % 4900)).cast("int")
-    test_len = (F.lit(600) + (h(9) % 9400)).cast("int")
+    # content: pseudo-source; test split skews ~2x longer (drift knob).
+    span = max(content_max - content_min, 1)
+    base_len = (F.lit(content_min) + (h(9) % span)).cast("int")
+    test_len = (F.lit(content_min + span // 8) + (h(9) % (2 * span - span // 8))).cast("int")
     length = F.when((F.col("split") == "test") & F.lit(drift), test_len).otherwise(base_len)
     token = F.concat(F.lit("def fn_"), (h(10) % 100000).cast("string"), F.lit("(x): return x # "))
     content = F.substring(F.repeat(token, 400), 1, length)

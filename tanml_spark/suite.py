@@ -1,0 +1,339 @@
+"""Fused validation suite — the engine's scale-critical execution plan.
+
+North-rule requirement: "column stats are computed in one fused pass".
+This module runs the ENTIRE check suite (profile, constraints,
+uniqueness, referential integrity, IQR outliers, PSI/KS drift) in
+exactly **four passes** over the table, two of which read only key
+columns (Parquet column pruning):
+
+  Scan 1 (grouped agg, reads all profiled columns ONCE):
+      per-logical-partition: row count, per-rule violation counts,
+      per-column null counts / min / max, and HyperLogLog sketches
+      (``hll_sketch_agg``). Global stats come from merging the 64
+      partition rows (``hll_union_agg`` + sum/min/max) — a trivially
+      small second-stage agg, NOT a second scan. This is also what
+      makes per-partition verdicts deterministic and resumable.
+
+  Scan 2 (condensed sufficient statistics, reads drift columns ONCE):
+      ``groupBy(column, value) → (ce, ca)`` counts per split side.
+      IQR quantiles+outlier counts, PSI, and exact KS are all pure
+      functions of this tiny table (bounded by value cardinality, not
+      row count) — computed via checks/drift.py's *_from_condensed.
+
+  Scan 3: uniqueness ``groupBy(keys)`` — reads only the key columns.
+  Scan 4: referential anti-join — reads only the FK column; parent
+      broadcast.
+
+Reference semantics preserved throughout (see the individual check
+modules for file:line citations into /root/reference/tanml).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tanml_spark.checks.drift import (
+    drift_level_col,
+    ks_asymp_pvalue,
+    ks_from_condensed,
+    psi_from_condensed,
+)
+from tanml_spark.constraints import Rule, as_rule, violation_predicate
+from tanml_spark.functions.hashing import logical_partition
+
+MAX_CONDENSED_COLLECT = 1_000_000  # distinct-value guard for driver math
+
+
+@dataclass
+class FusedSuiteResult:
+    partition_verdicts: DataFrame          # per-(partition, rule) verdicts
+    global_profile: dict[str, float]       # merged profile stats
+    dup_stats: dict[str, int]
+    n_orphans: int
+    iqr: dict[str, dict]                   # col -> {lo, hi, n_outliers, frac}
+    drift: dict[str, dict]                 # col -> {psi, ks, pvalue, level}
+    check_statuses: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def overall_status(self) -> str:
+        order = {"pass": 0, "warning": 1, "fail": 2}
+        worst = max(self.check_statuses.values(), key=lambda s: order[s], default="pass")
+        return worst
+
+
+def _scan1_grouped(
+    keyed: DataFrame,
+    rules: list[Rule],
+    profile_cols: list[str],
+) -> DataFrame:
+    fields = {f.name: f.dataType for f in keyed.schema.fields}
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
+    exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for r in rules:
+        exprs.append(F.sum(violation_predicate(r).cast("long")).alias(f"viol__{r.rule_id}"))
+    for c in profile_cols:
+        exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"))
+        exprs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll__{c}"))
+        if isinstance(fields[c], numeric):
+            exprs.append(F.min(c).alias(f"min__{c}"))
+            exprs.append(F.max(c).alias(f"max__{c}"))
+    return keyed.groupBy("partition_key").agg(*exprs)
+
+
+def _merge_global(scan1: DataFrame, rules: list[Rule], profile_cols: list[str]) -> dict:
+    """Second-stage agg over the tiny per-partition result (64 rows)."""
+    exprs = [F.sum("n_rows").alias("n_rows")]
+    for r in rules:
+        exprs.append(F.sum(f"viol__{r.rule_id}").alias(f"viol__{r.rule_id}"))
+    for c in profile_cols:
+        exprs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
+        exprs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(f"hll__{c}")).alias(f"distinct__{c}")
+        )
+        if f"min__{c}" in scan1.columns:
+            exprs.append(F.min(f"min__{c}").alias(f"min__{c}"))
+            exprs.append(F.max(f"max__{c}").alias(f"max__{c}"))
+    row = scan1.agg(*exprs).collect()[0]
+    return row.asDict()
+
+
+def _partition_verdicts(scan1: DataFrame, rules: list[Rule]) -> DataFrame:
+    pairs = []
+    for r in rules:
+        pairs.append(
+            f"'{r.rule_id}', cast(`viol__{r.rule_id}` as double), "
+            f"cast({r.warn_frac} as double), cast({r.fail_frac} as double)"
+        )
+    stack = (
+        f"stack({len(rules)}, {', '.join(pairs)}) as "
+        "(rule_id, violations, warn_frac, fail_frac)"
+    )
+    n = scan1.select("partition_key", "n_rows", F.expr(stack))
+    frac = F.round(
+        F.when(F.col("n_rows") > 0, F.col("violations") / F.col("n_rows")).otherwise(0.0), 9
+    )
+    n = n.withColumn("violation_frac", frac)
+    status = (
+        F.when(F.col("violation_frac") > F.col("fail_frac"), "fail")
+        .when(F.col("violation_frac") > F.col("warn_frac"), "warning")
+        .otherwise("pass")
+    )
+    return n.select(
+        "partition_key", "rule_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("violations").cast("long").alias("violations"),
+        "violation_frac", status.alias("status"),
+    )
+
+
+def _scan2_condensed(df: DataFrame, drift_exprs: dict[str, Column], split_col: str,
+                     expected_split: str) -> DataFrame:
+    sel = [F.when(F.col(split_col) == expected_split, "e").otherwise("a").alias("side")]
+    sel += [expr.cast("double").alias(name) for name, expr in drift_exprs.items()]
+    base = df.select(*sel)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in drift_exprs)
+    m = base.select(
+        "side", F.expr(f"stack({len(drift_exprs)}, {pairs}) as (column, value)")
+    ).filter(F.col("value").isNotNull())
+    return m.groupBy("column", "value").agg(
+        F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+    )
+
+
+def weighted_quantiles(values: np.ndarray, weights: np.ndarray, probs: list[float]) -> list[float]:
+    """numpy-linear-interpolation quantiles of the expanded multiset,
+    computed from (value, count) pairs without expansion."""
+    order = np.argsort(values)
+    v, w = values[order], weights[order]
+    cum = np.cumsum(w)
+    n = cum[-1]
+    out = []
+    for p in probs:
+        idx = (n - 1) * p  # 0-based rank, numpy 'linear' method
+        lo_rank, hi_rank = int(np.floor(idx)), int(np.ceil(idx))
+        lo_v = v[np.searchsorted(cum, lo_rank + 1, side="left")]
+        hi_v = v[np.searchsorted(cum, hi_rank + 1, side="left")]
+        out.append(float(lo_v + (hi_v - lo_v) * (idx - lo_rank)))
+    return out
+
+
+def psi_from_counts(vals: np.ndarray, ce: np.ndarray, ca: np.ndarray,
+                    bins: int = 10) -> float:
+    """PSI from exact (value, count_e, count_a) sufficient statistics —
+    same arithmetic as checks/drift.py (reference drift.py:34-84).
+    Deterministic: inputs are exact integers from one grouped agg."""
+    n_e, n_a = ce.sum(), ca.sum()
+    if n_e == 0 or n_a == 0:
+        return float("nan")
+    evals = vals[ce > 0]
+    lo, hi = evals.min(), evals.max()
+    if lo == hi:
+        lo, hi = lo - 0.5, hi + 0.5
+    width = (hi - lo) / bins
+    m = (vals >= lo) & (vals <= hi)
+    b = np.minimum(np.floor((vals[m] - lo) / width).astype(int), bins - 1)
+    cnt_e = np.bincount(b, weights=ce[m], minlength=bins)
+    cnt_a = np.bincount(b, weights=ca[m], minlength=bins)
+    e = np.maximum(cnt_e / n_e, 1e-8)
+    a = np.maximum(cnt_a / n_a, 1e-8)
+    return float(np.sum((a - e) * np.log(a / e)))
+
+
+def ks_from_counts(vals: np.ndarray, ce: np.ndarray, ca: np.ndarray) -> float:
+    """Exact two-sample KS statistic from per-value counts."""
+    n_e, n_a = ce.sum(), ca.sum()
+    if n_e == 0 or n_a == 0:
+        return float("nan")
+    order = np.argsort(vals)
+    cum_e = np.cumsum(ce[order]) / n_e
+    cum_a = np.cumsum(ca[order]) / n_a
+    return float(np.max(np.abs(cum_e - cum_a)))
+
+
+def run_fused_suite(
+    df: DataFrame,
+    rules: list[dict | Rule],
+    unique_keys: list[str],
+    repos_df: DataFrame | None = None,
+    fk_key: str = "repo",
+    split_col: str = "split",
+    expected_split: str = "train",
+    drift_exprs: dict[str, Column] | None = None,
+    profile_cols: list[str] | None = None,
+    partition_key_col: str = "repo",
+    n_buckets: int = 64,
+    outlier_warn_frac: float = 0.01,
+    outlier_fail_frac: float = 0.10,
+    dup_fail_frac: float = 0.05,
+    fk_fail_frac: float = 0.05,
+) -> FusedSuiteResult:
+    rules = [as_rule(r) for r in rules]
+    profile_cols = profile_cols or [c for c in df.columns if c != split_col]
+    drift_exprs = drift_exprs or {"content_len": F.length("content")}
+    statuses: dict[str, str] = {}
+    spark = df.sparkSession
+
+    # ---- Scan 1: fused grouped agg (one job: materialize cache via
+    # the global merge, then derive per-partition verdicts locally) ----
+    keyed = df.withColumn(
+        "partition_key", logical_partition(F.col(partition_key_col), n_buckets).cast("string")
+    )
+    scan1 = _scan1_grouped(keyed, rules, profile_cols).cache()
+    glob = _merge_global(scan1, rules, profile_cols)
+    verdict_rows = _partition_verdicts(
+        scan1.drop(*[c for c in scan1.columns if c.startswith("hll__")]), rules
+    ).collect()
+    scan1.unpersist()
+    verdicts = spark.createDataFrame(
+        verdict_rows,
+        "partition_key string, rule_id string, n_rows long, violations long, "
+        "violation_frac double, status string",
+    )
+    n_rows = glob["n_rows"]
+    for r in rules:
+        frac = glob[f"viol__{r.rule_id}"] / n_rows if n_rows else 0.0
+        s = "fail" if frac > r.fail_frac else "warning" if frac > r.warn_frac else "pass"
+        statuses[f"rule:{r.rule_id}"] = s
+
+    # ---- Scan 2: condensed sufficient statistics. IQR quantiles, PSI
+    # and exact KS are computed from these exact integer counts in
+    # numpy (deterministic at any parallelism); the distributed
+    # *_from_condensed path handles cardinalities above the guard. ----
+    cond = _scan2_condensed(df, drift_exprs, split_col, expected_split).cache()
+    iqr: dict[str, dict] = {}
+    drift: dict[str, dict] = {}
+    n_distinct = cond.count()
+    if n_distinct <= MAX_CONDENSED_COLLECT:
+        local = cond.toPandas()
+        cond.unpersist()
+        for c in drift_exprs:
+            sub = local[local["column"] == c]
+            vals = sub["value"].to_numpy(dtype=np.float64)
+            ce = sub["ce"].to_numpy(dtype=np.float64)
+            ca = sub["ca"].to_numpy(dtype=np.float64)
+            wts = ce + ca
+            if len(vals) == 0:
+                drift[c] = {"psi": float("nan"), "ks_stat": float("nan"),
+                            "ks_pvalue": float("nan"), "drift_level": "unknown"}
+                continue
+            q1, q3 = weighted_quantiles(vals, wts, [0.25, 0.75])
+            lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+            mask = (vals < lo) | (vals > hi)
+            n_out = float(wts[mask].sum())
+            ofrac = n_out / wts.sum() if wts.sum() else 0.0
+            iqr[c] = {"lo": lo, "hi": hi, "n_outliers": int(n_out),
+                      "outlier_frac": round(ofrac, 9)}
+            statuses[f"iqr:{c}"] = (
+                "fail" if ofrac > outlier_fail_frac
+                else "warning" if ofrac > outlier_warn_frac else "pass"
+            )
+            psi = psi_from_counts(vals, ce, ca)
+            ks = ks_from_counts(vals, ce, ca)
+            pv = ks_asymp_pvalue(ks, int(ce.sum()), int(ca.sum()))
+            level = ("unknown" if psi != psi else "severe" if psi >= 0.2
+                     else "moderate" if psi >= 0.1 else "none")
+            drift[c] = {"psi": psi, "ks_stat": ks, "ks_pvalue": pv,
+                        "drift_level": level}
+            statuses[f"drift:{c}"] = (
+                "fail" if level == "severe"
+                else "warning" if level == "moderate" else "pass"
+            )
+    else:
+        # cardinality too high to collect: distributed path
+        psi_rows = {r["column"]: r["psi"] for r in psi_from_condensed(cond).collect()}
+        ks_rows = {r["column"]: r for r in ks_from_condensed(cond).collect()}
+        cond.unpersist()
+        for c in drift_exprs:
+            psi = psi_rows.get(c, float("nan"))
+            kr = ks_rows.get(c)
+            ks = kr["ks_stat"] if kr else float("nan")
+            pv = ks_asymp_pvalue(ks, kr["n_e"], kr["n_a"]) if kr else float("nan")
+            level = ("unknown" if psi != psi else "severe" if psi >= 0.2
+                     else "moderate" if psi >= 0.1 else "none")
+            drift[c] = {"psi": psi, "ks_stat": ks, "ks_pvalue": pv,
+                        "drift_level": level}
+            statuses[f"drift:{c}"] = (
+                "fail" if level == "severe"
+                else "warning" if level == "moderate" else "pass"
+            )
+
+    # ---- Scan 3: uniqueness — shuffle an 8-byte key hash, not the
+    # wide string key columns (collision odds ~ n^2/2^64; counting
+    # semantics unchanged at corpus scale). Key cols only are read. ----
+    kh = F.xxhash64(*[F.col(k) for k in unique_keys]).alias("kh")
+    g = df.select(kh).groupBy("kh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    drow = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("r"),
+    ).collect()[0]
+    dup_stats = {"n_keys_duplicated": drow["k"], "n_rows_duplicated": drow["r"]}
+    dup_frac = drow["r"] / n_rows if n_rows else 0.0
+    statuses["uniqueness"] = (
+        "fail" if dup_frac > dup_fail_frac else "warning" if drow["r"] else "pass"
+    )
+
+    # ---- Scan 4: referential integrity (FK column only, broadcast dim) ----
+    n_orphans = 0
+    if repos_df is not None:
+        parent = F.broadcast(repos_df.select(fk_key).dropDuplicates([fk_key]))
+        n_orphans = df.select(fk_key).join(parent, fk_key, "left_anti").count()
+        frac = n_orphans / n_rows if n_rows else 0.0
+        statuses["referential"] = (
+            "fail" if frac > fk_fail_frac else "warning" if n_orphans else "pass"
+        )
+
+    return FusedSuiteResult(
+        partition_verdicts=verdicts,
+        global_profile={k: v for k, v in glob.items() if not k.startswith("hll__")},
+        dup_stats=dup_stats,
+        n_orphans=n_orphans,
+        iqr=iqr,
+        drift=drift,
+        check_statuses=statuses,
+    )

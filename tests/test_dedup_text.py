@@ -1,0 +1,147 @@
+"""Dedup family + text-analysis operators vs python oracles."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_rows,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+    word_shingles,
+)
+from tanml_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),  # exact dup
+    (2, "the quick brown fox jumps over the lazy dog and walks away fast", "en"),  # near dup
+    (3, "el gato y el perro en la casa de la abuela que es grande", "es"),
+    (4, "der hund und die katze sind in dem haus von der frau", "de"),
+    (5, "le chat et le chien sont dans la maison de la grand mere", "fr"),
+    (6, "completely different text about spark dataframes and shuffle partitions", "en"),
+    (7, "zzz qqq xxx", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], "doc_id long, text string"
+    ).cache()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup(docs).collect()
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_copies"] == 2
+    assert dup_groups[0]["keep_id"] == 0
+    # sha256 matches python's
+    expected = hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    assert dup_groups[0]["content_sha256"] == expected
+    drop = exact_dup_rows(docs).collect()
+    assert [r["doc_id"] for r in drop] == [1]
+
+
+def test_tokens_and_count(docs, spark):
+    got = docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    exp = {i: len(t.split()) for i, t, _ in DOCS}
+    assert {r["doc_id"]: r["n"] for r in got} == exp
+    # empty / whitespace-only edge
+    edge = spark.createDataFrame([("",), ("   ",), (None,)], "text string")
+    ns = edge.select(F.size(tokens(F.col("text"))).alias("n")).collect()
+    assert [r["n"] for r in ns] == [0, 0, None]  # null -> null (ANSI)
+
+
+def test_word_shingles(docs):
+    row = docs.filter("doc_id = 7").select(
+        word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()[0]
+    assert row["sh"] == ["zzz qqq xxx"]
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    exp = {i: lang for i, _, lang in DOCS}
+    # doc 6 is English but stopword-light; allow en or und
+    for i in exp:
+        if i == 6:
+            assert got[i] in ("en", "und")
+        else:
+            assert got[i] == exp[i], f"doc {i}: {got[i]} != {exp[i]}"
+
+
+def test_quality_score(docs, spark):
+    q = quality_score(docs).collect()
+    by_id = {r["doc_id"]: r for r in q}
+    assert by_id[0]["q_keep"] == 1          # normal English sentence
+    assert by_id[7]["q_n_tokens"] == 3
+    assert by_id[7]["q_score"] == 0.0       # < min_tokens -> 0
+    junk = spark.createDataFrame([(0, "!!! ??? ;;; ::: ,,, ... !!! ???" * 3)],
+                                 "doc_id long, text string")
+    jq = quality_score(junk).collect()[0]
+    assert jq["q_punct_ratio"] > 0.5 and jq["q_keep"] == 0
+
+
+def test_fingerprint_stability_and_sensitivity(docs):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp1 == fp2                        # deterministic
+    assert fp1[0] == fp1[1]                  # identical docs -> same fp
+    assert fp1[0] != fp1[6]                  # different docs -> different fp
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
+    rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert rows[0] == rows[1]                # identical -> identical signature
+    # near-dup 0/2: jaccard ~0.57 -> expected agreement ~18/32, 3sigma floor
+    agree = sum(a == b for a, b in zip(rows[0], rows[2]))
+    assert agree >= 10
+    # bands=16 (2 rows/band): P(catch | J=0.57) = 1-(1-J^2)^16 ~ 0.998
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(sigs, bands=16).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (0, 6) not in pairs
+
+
+def test_jaccard_pairs_exact(docs, spark):
+    got = {(r["id_a"], r["id_b"]): r for r in
+           jaccard_pairs(docs, shingle_n=3, threshold=0.3).collect()}
+    assert got[(0, 1)]["jaccard"] == 1.0
+
+    def shingles(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    s0, s2 = shingles(DOCS[0][1]), shingles(DOCS[2][1])
+    exp_j = len(s0 & s2) / len(s0 | s2)
+    assert abs(got[(0, 2)]["jaccard"] - exp_j) < 1e-9
+    assert (0, 6) not in got
+
+
+def test_simhash_near_pairs(docs):
+    sigs = simhash_signatures(docs)
+    rows = {r["id"]: r["simhash"] for r in sigs.collect()}
+    assert rows[0] == rows[1]
+    # near-dup within hamming 12; unrelated far
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(rows[0], rows[2]) <= 12
+    assert ham(rows[0], rows[6]) > 12
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_pairs(sigs, max_hamming=12).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0

@@ -1,0 +1,80 @@
+"""Fused suite equals the individual checks (same semantics, 4 passes)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.drift import analyze_drift
+from tanml_spark.checks.duplicates import duplicate_stats
+from tanml_spark.checks.integrity import orphan_rows
+from tanml_spark.checks.outliers import iqr_bounds
+from tanml_spark.constraints import check_constraints
+from tanml_spark.functions.hashing import logical_partition
+from tanml_spark.suite import run_fused_suite, weighted_quantiles
+
+RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "length", "column": "content", "min": 50, "max": 20000, "name": "content_len"},
+]
+
+
+def test_weighted_quantiles_match_numpy():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 500, 3000).astype(float)
+    uniq, counts = np.unique(vals, return_counts=True)
+    got = weighted_quantiles(uniq, counts.astype(float), [0.25, 0.5, 0.75])
+    exp = np.percentile(vals, [25, 50, 75]).tolist()
+    assert np.allclose(got, exp)
+
+
+def test_fused_suite_matches_individual_checks(spark, code_files, repos_dim):
+    res = run_fused_suite(
+        code_files,
+        rules=RULES,
+        unique_keys=["repo", "path", "commit"],
+        repos_df=repos_dim,
+        fk_key="repo",
+        drift_exprs={"content_len": F.length("content")},
+        profile_cols=["repo", "lang"],
+        n_buckets=16,
+    )
+
+    # constraints: fused per-partition verdicts == standalone compiler
+    keyed = code_files.withColumn(
+        "partition_key", logical_partition(F.col("repo"), 16).cast("string")
+    )
+    exp = check_constraints(keyed, RULES, group_by=["partition_key"])
+    exp_set = sorted(map(tuple, exp.select(*res.partition_verdicts.columns).collect()))
+    got_set = sorted(map(tuple, res.partition_verdicts.collect()))
+    assert got_set == exp_set
+
+    # uniqueness
+    d = duplicate_stats(code_files, ["repo", "path", "commit"]).collect()[0]
+    assert res.dup_stats["n_rows_duplicated"] == d["n_rows_duplicated"]
+    assert res.dup_stats["n_keys_duplicated"] == d["n_keys_duplicated"]
+
+    # referential
+    assert res.n_orphans == orphan_rows(code_files, repos_dim, "repo").count()
+
+    # IQR bounds (exact weighted vs exact percentile on the same data)
+    len_df = code_files.select(F.length("content").cast("double").alias("content_len"))
+    lo, hi = iqr_bounds(len_df, ["content_len"], exact=True)["content_len"]
+    assert abs(res.iqr["content_len"]["lo"] - lo) < 1e-9
+    assert abs(res.iqr["content_len"]["hi"] - hi) < 1e-9
+
+    # drift: psi/ks equal the condensed-path analyze_drift
+    train = code_files.filter(F.col("split") == "train").select(
+        F.length("content").cast("double").alias("content_len"))
+    test = code_files.filter(F.col("split") == "test").select(
+        F.length("content").cast("double").alias("content_len"))
+    exp_drift = analyze_drift(train, test, ["content_len"], with_ks=True).collect()[0]
+    assert abs(res.drift["content_len"]["psi"] - exp_drift["psi"]) < 1e-12
+    assert abs(res.drift["content_len"]["ks_stat"] - exp_drift["ks_stat"]) < 1e-12
+    assert res.drift["content_len"]["drift_level"] == exp_drift["drift_level"]
+
+    # global profile sanity: HLL estimate close to exact
+    pdf_langs = code_files.select("lang").distinct().count()
+    assert abs(res.global_profile["distinct__lang"] - pdf_langs) <= 1
+
+    # statuses present for every check family
+    assert {"uniqueness", "referential"} <= set(res.check_statuses)
+    assert res.overall_status in {"pass", "warning", "fail"}

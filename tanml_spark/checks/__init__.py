@@ -1,5 +1,6 @@
 from tanml_spark.checks.base import Check, CheckRegistry, register_check  # noqa: F401
 from tanml_spark.checks import (  # noqa: F401
+    correlation,
     drift,
     duplicates,
     integrity,

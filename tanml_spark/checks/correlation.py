@@ -1,0 +1,127 @@
+"""Correlation matrix, high-correlation pairs, and VIF.
+
+Reference semantics:
+- Pearson/Spearman correlation matrix (tanml/analysis/correlation.py:23-42)
+- high-|r| pair scan, |r| >= 0.8, sorted by |r| desc
+  (correlation.py:45-77)
+- VIF per feature, flagged >= 5 (correlation.py:80-160; statsmodels
+  OLS per feature). VIF_i == 1/(1 - R²_i) == diag(inv(corr))_ii — we
+  compute the k×k correlation matrix DISTRIBUTED in one fused agg of
+  pairwise F.corr (single pass, k(k-1)/2 JVM expressions), then invert
+  the tiny matrix on the driver (numpy pinv: perfect collinearity →
+  huge/inf VIF, matching statsmodels behavior on singular designs).
+
+Spearman = Pearson over per-column ranks; ranks via a window per
+column (average-rank ties, matching pandas/scipy 'average').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.result import CheckResult, Status
+
+
+def correlation_matrix(
+    df: DataFrame, columns: list[str], method: str = "pearson"
+) -> np.ndarray:
+    """k×k correlation matrix from ONE fused aggregation pass."""
+    if method == "spearman":
+        df = rank_transform(df, columns)
+    elif method != "pearson":
+        raise ValueError(f"unsupported method: {method}")
+    exprs = []
+    for i, a in enumerate(columns):
+        for b in columns[i + 1:]:
+            exprs.append(F.corr(a, b).alias(f"{a}|{b}"))
+    row = df.agg(*exprs).collect()[0] if exprs else None
+    k = len(columns)
+    m = np.eye(k)
+    for i, a in enumerate(columns):
+        for j in range(i + 1, k):
+            v = row[f"{a}|{columns[j]}"]
+            m[i, j] = m[j, i] = float("nan") if v is None else v
+    return m
+
+
+def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Replace columns by average ranks (Spearman prep). Needs one
+    window sort per column — acceptable for the small feature sets
+    correlation is run on; sample first at corpus scale."""
+    out = df
+    for c in columns:
+        w = Window.orderBy(F.col(c))
+        # average rank for ties = (rank + (count-in-group - 1)/2)
+        grp = Window.partitionBy(F.col(c))
+        out = out.withColumn(
+            f"__rk_{c}",
+            F.rank().over(w) + (F.count(F.lit(1)).over(grp) - 1) / 2.0,
+        )
+    return out.select(*[F.col(f"__rk_{c}").alias(c) for c in columns])
+
+
+def high_corr_pairs(
+    df: DataFrame, columns: list[str], threshold: float = 0.8, method: str = "pearson"
+) -> list[dict]:
+    """Pairs with |r| >= threshold, sorted by |r| desc (reference
+    correlation.py:45-77). Driver-side scan of the tiny k×k matrix."""
+    m = correlation_matrix(df, columns, method)
+    pairs = []
+    for i, a in enumerate(columns):
+        for j in range(i + 1, len(columns)):
+            r = m[i, j]
+            if not np.isnan(r) and abs(r) >= threshold:
+                pairs.append({"feature_a": a, "feature_b": columns[j],
+                              "corr": round(float(r), 9)})
+    return sorted(pairs, key=lambda p: abs(p["corr"]), reverse=True)
+
+
+def vif(df: DataFrame, columns: list[str]) -> dict[str, float]:
+    """VIF per feature from the distributed correlation matrix.
+
+    VIF_i = 1/(1 - R²_i); R²_i from regressing feature i on the rest
+    using the correlation matrix (pinv handles singular/collinear
+    designs → very large VIF, like statsmodels' inf)."""
+    m = correlation_matrix(df, columns)
+    k = len(columns)
+    out = {}
+    for i in range(k):
+        others = [j for j in range(k) if j != i]
+        if not others:
+            out[columns[i]] = 1.0
+            continue
+        r_oo = m[np.ix_(others, others)]
+        r_oi = m[np.ix_(others, [i])].ravel()
+        beta = np.linalg.pinv(r_oo) @ r_oi
+        r2 = float(np.clip(r_oi @ beta, 0.0, 1.0))
+        out[columns[i]] = float("inf") if r2 >= 1.0 - 1e-12 else round(1.0 / (1.0 - r2), 9)
+    return out
+
+
+@register_check("multicollinearity", order=60)
+def vif_check(ctx: ValidationContext) -> CheckResult:
+    cols = ctx.config.get("vif_columns")
+    if not cols:
+        numeric = {"int", "bigint", "double", "float"}
+        cols = [c for c, t in ctx.df.dtypes if t in numeric]
+    if len(cols) < 2:
+        return CheckResult("multicollinearity", Status.PASS, summary="<2 numeric columns")
+    vifs = vif(ctx.df, cols)
+    thr = ctx.config.get("vif_threshold", 5.0)
+    flagged = {c: v for c, v in vifs.items() if v >= thr}
+    status = Status.WARNING if flagged else Status.PASS
+    return CheckResult(
+        name="multicollinearity",
+        status=status,
+        metrics={f"vif:{c}": (v if v != float("inf") else 1e18) for c, v in vifs.items()},
+        summary=f"{len(flagged)}/{len(cols)} features with VIF >= {thr}: {sorted(flagged)}",
+        verdicts=[
+            {"check": "multicollinearity", "partition_key": c,
+             "status": "warning" if c in flagged else "pass",
+             "metric": "vif", "value": (None if v == float("inf") else v)}
+            for c, v in vifs.items()
+        ],
+    )

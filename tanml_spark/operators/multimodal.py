@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Model: media is an opaque ``binary`` column plus typed metadata
+(mime, width/height/duration...). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages — the Spark
+side (schema contracts, batch shapes, partition sizing) is real and
+tested; the pixel/sample decode itself is STUBBED behind
+``TANML_SPARK_FAKE_DECODE`` (deterministic fake) because no media
+codec libraries exist in this environment — swap ``_decode_image``
+for PIL/ffmpeg in production.
+
+Scale notes: media rows are large — ``repartition`` by size budget
+before mapInPandas so a batch of B rows fits executor memory
+(``maxRecordsPerBatch`` governs Arrow chunking); never collect binary
+columns to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("data", T.BinaryType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, sha256 string, "
+    "width int, height int, mean_luma double, decode_ok boolean"
+)
+
+
+def gen_fake_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic fake media table (seeded bytes; pure function of id)."""
+    df = spark.range(n)
+    payload = F.sha2(F.concat(F.lit("media"), F.col("id").cast("string")), 512)
+    return df.select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 3 == 0, "image/png")
+        .when(F.col("id") % 3 == 1, "image/jpeg")
+        .otherwise("audio/wav").alias("mime"),
+        F.repeat(payload, (F.col("id") % 7 + 1).cast("int")).cast("binary").alias("data"),
+        F.create_map(F.lit("source"), F.concat(F.lit("cam"), (F.col("id") % 4).cast("string")))
+        .alias("meta"),
+    )
+
+
+def _decode_image(data: bytes, mime: str) -> tuple[int, int, float, bool]:
+    """STUB decode. Production: PIL.Image.open(io.BytesIO(data)).
+
+    The deterministic fake derives (width, height, mean_luma) from a
+    content hash so tests have stable expectations."""
+    if os.environ.get("TANML_SPARK_REAL_DECODE"):
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "install pillow/ffmpeg and replace _decode_image"
+        )
+    if not mime.startswith("image/"):
+        return 0, 0, 0.0, False
+    h = hashlib.sha256(data).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = round(h[2] / 255.0, 6)
+    return width, height, mean_luma, True
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, narrow feature
+    rows out (binary column dropped on output — never carried further
+    than necessary)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["data"].map(len).astype("int64"),
+                "sha256": pdf["data"].map(lambda b: hashlib.sha256(b).hexdigest()),
+            }
+            decoded = [_decode_image(b, m) for b, m in zip(pdf["data"], pdf["mime"])]
+            out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
+            out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
+            out["mean_luma"] = pd.Series([d[2] for d in decoded], dtype="float64")
+            out["decode_ok"] = pd.Series([d[3] for d in decoded], dtype="bool")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n_sec: float = 1.0) -> DataFrame:
+    """Video frame-sampling plumbing: expands each video row into frame
+    task rows (media_id, frame_idx, ts_sec) — the decode itself would
+    run in a downstream mapInPandas. Duration comes from metadata."""
+    dur = F.coalesce(
+        F.element_at(F.col("meta"), F.lit("duration_sec")).cast("double"), F.lit(1.0)
+    )
+    n_frames = F.greatest(F.floor(dur / every_n_sec).cast("int"), F.lit(1))
+    return media.filter(F.col("mime").startswith("video/")).select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_i"),
+    ).select(
+        "media_id", "frame_idx",
+        (F.col("frame_idx") * every_n_sec).alias("ts_sec"),
+    )

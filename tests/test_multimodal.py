@@ -1,0 +1,48 @@
+"""Multimodal plumbing: schema, Arrow batching, deterministic fake decode."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tanml_spark.operators.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+    gen_fake_media,
+)
+
+
+def test_fake_media_deterministic(spark):
+    a = gen_fake_media(spark, 50).orderBy("media_id").collect()
+    b = gen_fake_media(spark, 50).repartition(7).orderBy("media_id").collect()
+    assert [bytes(r["data"]) for r in a] == [bytes(r["data"]) for r in b]
+
+
+def test_extract_image_features(spark):
+    media = gen_fake_media(spark, 60)
+    feats = extract_image_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 60
+    raw = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    for mid, r in rows.items():
+        assert r["sha256"] == hashlib.sha256(raw[mid]).hexdigest()
+        assert r["n_bytes"] == len(raw[mid])
+        if r["mime"].startswith("image/"):
+            assert r["decode_ok"] and 64 <= r["width"] < 256 and 0 <= r["mean_luma"] <= 1
+        else:
+            assert not r["decode_ok"] and r["width"] == 0
+    # re-run -> identical (stub decode is content-hash deterministic)
+    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert {m: (r["width"], r["height"], r["mean_luma"]) for m, r in rows.items()} == {
+        m: (r["width"], r["height"], r["mean_luma"]) for m, r in again.items()
+    }
+
+
+def test_frame_sample_plan(spark):
+    media = gen_fake_media(spark, 10).withColumn(
+        "mime", F.lit("video/mp4")
+    ).withColumn("meta", F.create_map(F.lit("duration_sec"), F.lit("3.0")))
+    plan = frame_sample_plan(media, every_n_sec=1.0)
+    rows = plan.collect()
+    assert len(rows) == 30  # 10 videos x 3 frames
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+    assert all(abs(r["ts_sec"] - r["frame_idx"] * 1.0) < 1e-9 for r in rows)

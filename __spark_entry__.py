@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tanml_spark.entry_queries import all_oracles, all_queries  # noqa: E402
+from tanml_spark.entry_queries2 import all_oracles2, all_queries2  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    return {**all_queries(), **all_queries2()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return all_oracles()
+    return {**all_oracles(), **all_oracles2()}

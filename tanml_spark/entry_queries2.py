@@ -1,0 +1,354 @@
+"""Driver-contract queries, part 2: training-data pipeline operators
+(text analysis, dedup family, similarity search, correlation) with
+DuckDB oracles where ANSI-SQL-expressible; hash-based ops (minhash /
+simhash / LSH / fingerprint use Spark's xxhash64, which DuckDB lacks)
+are exposed as rows-only checks per the driver contract.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from tanml_spark.operators.similarity import cosine_topk
+from tanml_spark.operators.text import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------------- q: token stats
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = r"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> len(x) > 0)) AS n_tok
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(n_tok), 6) AS avg_tokens, max(n_tok) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+# ------------------------------------------------------- q: exact dedup
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = exact_dedup(docs)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_distinct_contents"),
+        F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies") - 1)
+              .otherwise(0)).cast("long").alias("n_rows_removable"),
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH g AS (
+  SELECT sha256(text) h, count(*) c FROM documents
+  WHERE text IS NOT NULL GROUP BY 1
+)
+SELECT count(*) AS n_distinct_contents,
+       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS n_rows_removable
+FROM g
+"""
+
+
+# --------------------------------------------------- q: jaccard near-dup
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.2 among the first 60 docs,
+    augmented with one synthetic near-duplicate per sampled doc (the
+    original text truncated to 80%), so known positives exist."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, (F.length("text") * 0.8).cast("int")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    return jaccard_pairs(both, shingle_n=3, threshold=0.2)
+
+
+SQL_JACCARD_PAIRS = r"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000, substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id < 60
+), sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(sub.grams)) AS shingle
+  FROM (
+    SELECT doc_id,
+      [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] AS grams
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM docs0
+    ) WHERE len(toks) >= 3
+  ) sub
+), sizes AS (
+  SELECT id, count(*) n_sh FROM sh GROUP BY id
+), common AS (
+  SELECT a.id id_a, b.id id_b, count(*) n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = common.id_a
+JOIN sizes sb ON sb.id = common.id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+# ------------------------------------------------------ q: cosine top-k
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # cast float -> double BEFORE arithmetic so both engines compute in
+    # double throughout (parity-critical)
+    embd = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = embd.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(embd, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("score", 4).alias("score"), "rank")
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.emb, q.qe)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 9) AS score9
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, score9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score9 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score9, 4) AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ----------------------------------------------------- q: language id
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    return (
+        pred.groupBy(F.col("lang"), F.col("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+SQL_LANG_ID = rf"""
+WITH t AS (
+  SELECT lang,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS toks
+  FROM documents
+), s AS (
+  SELECT lang,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list('de')}, x))) AS score_de,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list('en')}, x))) AS score_en,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list('es')}, x))) AS score_es,
+    len(list_filter(toks, x -> list_contains({_sql_stop_list('fr')}, x))) AS score_fr
+  FROM t
+), p AS (
+  SELECT lang,
+    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+         WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+         WHEN score_es >= score_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+)
+SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------- q: quality scoring
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs)
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q_score"), 6).alias("avg_score"),
+        F.sum("q_keep").cast("long").alias("n_keep"),
+        F.round(F.avg("q_n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
+# DuckDB mirror of quality_score (punct via POSIX class; the engine
+# uses \p{Punct} — equivalent over this ASCII corpus).
+_ALL_STOPS = "[" + ", ".join(
+    f"'{w}'" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
+) + "]"
+
+SQL_QUALITY_STATS = rf"""
+WITH t AS (
+  SELECT lang, text,
+    length(text) AS n_chars,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> len(x) > 0) AS toks,
+    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+  FROM documents
+), f AS (
+  SELECT lang, len(toks) AS n_tok,
+    CASE WHEN len(toks) < 5 THEN 0.0 ELSE
+      greatest(0.0, least(1.0,
+        0.5
+        - least(1.0, CASE WHEN n_chars > 0 THEN (n_punct / n_chars) / 0.3
+                          ELSE 1.0/0.3 END) * 0.5
+        + least(len(list_filter(toks, x -> list_contains({_ALL_STOPS}, x)))
+                / len(toks) * 2.0, 0.5)))
+    END AS score
+  FROM t
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(round(score, 9)), 6) AS avg_score,
+       sum(CASE WHEN round(score, 9) >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       round(avg(n_tok), 6) AS avg_tokens
+FROM f GROUP BY lang
+"""
+
+
+# ----------------------------------------------- q: corr pairs (lineitem)
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    exprs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            exprs.append(F.round(F.corr(a, b), 6).alias(f"{a}|{b}"))
+    wide = li.agg(*exprs)
+    pairs = ", ".join(
+        f"'{a}', '{b}', `{a}|{b}`" for i, a in enumerate(cols) for b in cols[i + 1:]
+    )
+    n = len(cols) * (len(cols) - 1) // 2
+    return wide.select(F.expr(f"stack({n}, {pairs}) as (feature_a, feature_b, corr)"))
+
+
+SQL_CORR_PAIRS = """
+SELECT u.* FROM (
+  SELECT round(corr(l_quantity, l_extendedprice), 6) c12,
+         round(corr(l_quantity, l_discount), 6) c13,
+         round(corr(l_quantity, l_tax), 6) c14,
+         round(corr(l_extendedprice, l_discount), 6) c23,
+         round(corr(l_extendedprice, l_tax), 6) c24,
+         round(corr(l_discount, l_tax), 6) c34
+  FROM lineitem
+), LATERAL (VALUES
+  ('l_quantity', 'l_extendedprice', c12),
+  ('l_quantity', 'l_discount', c13),
+  ('l_quantity', 'l_tax', c14),
+  ('l_extendedprice', 'l_discount', c23),
+  ('l_extendedprice', 'l_tax', c24),
+  ('l_discount', 'l_tax', c34)
+) u(feature_a, feature_b, corr)
+"""
+
+
+# --------------------------- rows-only queries (hash-based, no oracle)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection with injected known positives
+    (80%-truncated copies). Verified by exact jaccard on candidates."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, (F.length("text") * 0.8).cast("int")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    sigs = minhash_signatures(both, num_hashes=32, shingle_n=3)
+    cand = lsh_candidate_pairs(sigs, bands=16)
+    return jaccard_pairs(both, shingle_n=3, threshold=0.4, candidates=cand)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, (F.length("text") * 0.8).cast("int")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mutated)
+    sigs = simhash_signatures(both)
+    return simhash_near_pairs(sigs, max_hamming=8)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def all_queries2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "cosine_topk": q_cosine_topk,
+        "lang_id": q_lang_id,
+        "quality_stats": q_quality_stats,
+        "corr_pairs": q_corr_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "fingerprints": q_fingerprints,
+    }
+
+
+def all_oracles2() -> dict[str, str]:
+    return {
+        "token_stats": SQL_TOKEN_STATS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "lang_id": SQL_LANG_ID,
+        "quality_stats": SQL_QUALITY_STATS,
+        "corr_pairs": SQL_CORR_PAIRS,
+        # minhash/simhash/fingerprints: xxhash64-based -> rows-only
+    }

@@ -1,0 +1,149 @@
+"""Cluster-coverage check: is the test split inside the training
+data's region of feature space?
+
+Reference semantics (tanml/analysis/clustering.py:28-142):
+- common numeric columns, dropna
+- StandardScaler(fit on train) → KMeans(k, seed 42) on train
+- distance of every point to its NEAREST centroid
+- threshold = p95(train distances) × 1.5
+- coverage_pct = 100·(1 − mean(test_dist > threshold))
+- per-cluster train/test counts + %
+- status: ≥90 pass, ≥70 warning, else fail (clustering.py:141)
+
+Spark-first: scaling stats + centroid distances are column
+expressions; KMeans is pyspark.ml (distributed Lloyd's); the p95 is
+``percentile_approx`` at scale (exact percentile at test scale).
+Distance-to-centroid is computed with JVM array math (no UDF): the k
+centroid distances per row are an array expression, min-reduced.
+PCA visualization coords are out of engine scope (plotting concern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.result import CheckResult, Status
+
+
+def _scaled_cols(df: DataFrame, cols: list[str], means: dict, stds: dict) -> list[Column]:
+    return [
+        ((F.col(c) - F.lit(means[c])) / F.lit(stds[c] if stds[c] else 1.0)).alias(c)
+        for c in cols
+    ]
+
+
+def _min_dist(cols: list[str], centers: list[list[float]]) -> tuple[Column, Column]:
+    """(nearest-cluster-id, nearest-distance) as pure expressions."""
+    dists = F.array(*[
+        F.struct(
+            F.sqrt(sum(
+                (F.col(c) - F.lit(float(ctr[i]))) * (F.col(c) - F.lit(float(ctr[i])))
+                for i, c in enumerate(cols)
+            )).alias("d"),
+            F.lit(j).alias("cluster"),
+        )
+        for j, ctr in enumerate(centers)
+    ])
+    best = F.array_min(dists)
+    return best["cluster"], best["d"]
+
+
+def analyze_cluster_coverage(
+    train: DataFrame,
+    test: DataFrame,
+    columns: list[str] | None = None,
+    n_clusters: int = 5,
+    seed: int = 42,
+    exact_percentile: bool = True,
+) -> dict:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    columns = columns or [
+        c for c, t in train.dtypes
+        if t in {"int", "bigint", "double", "float"} and c in dict(test.dtypes)
+    ]
+    if not columns:
+        return {"coverage_pct": 0.0, "n_clusters": 0, "error": "No common numeric columns found"}
+    tr = train.select(*columns).na.drop()
+    te = test.select(*columns).na.drop()
+    n_train = tr.count()
+    if n_train < n_clusters or te.isEmpty():
+        return {"coverage_pct": 0.0, "n_clusters": 0, "error": "Insufficient data for clustering"}
+
+    # standardize with train stats (one fused agg)
+    stats = tr.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in columns],
+        *[F.stddev_samp(c).alias(f"s_{c}") for c in columns],
+    ).collect()[0]
+    means = {c: stats[f"m_{c}"] for c in columns}
+    stds = {c: stats[f"s_{c}"] or 1.0 for c in columns}
+    tr_s = tr.select(*_scaled_cols(tr, columns, means, stds))
+    te_s = te.select(*_scaled_cols(te, columns, means, stds))
+
+    va = VectorAssembler(inputCols=columns, outputCol="features")
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(va.transform(tr_s))
+    centers = [np.asarray(c).tolist() for c in km.clusterCenters()]
+
+    cl_tr, d_tr = _min_dist(columns, centers)
+    cl_te, d_te = _min_dist(columns, centers)
+    tr_d = tr_s.select(cl_tr.alias("cluster"), d_tr.alias("dist"))
+    te_d = te_s.select(cl_te.alias("cluster"), d_te.alias("dist"))
+
+    p95 = (
+        tr_d.agg(F.expr("percentile(dist, 0.95)")).collect()[0][0]
+        if exact_percentile
+        else tr_d.agg(F.percentile_approx("dist", 0.95, 10000)).collect()[0][0]
+    )
+    threshold = p95 * 1.5
+
+    te_row = te_d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dist") > threshold).cast("long")).alias("uncovered"),
+    ).collect()[0]
+    coverage_pct = 100.0 * (1 - te_row["uncovered"] / te_row["n"])
+
+    dist_tr = {r["cluster"]: r["count"] for r in tr_d.groupBy("cluster").count().collect()}
+    dist_te = {r["cluster"]: r["count"] for r in te_d.groupBy("cluster").count().collect()}
+    n_te = te_row["n"]
+    cluster_dist = {
+        i: {
+            "train_count": int(dist_tr.get(i, 0)),
+            "test_count": int(dist_te.get(i, 0)),
+            "train_pct": 100.0 * dist_tr.get(i, 0) / n_train,
+            "test_pct": 100.0 * dist_te.get(i, 0) / n_te,
+        }
+        for i in range(n_clusters)
+    }
+    status = "pass" if coverage_pct >= 90 else ("warning" if coverage_pct >= 70 else "fail")
+    return {
+        "coverage_pct": round(float(coverage_pct), 9),
+        "uncovered_count": int(te_row["uncovered"]),
+        "threshold": round(float(threshold), 9),
+        "n_clusters": n_clusters,
+        "cluster_distribution": cluster_dist,
+        "status": status,
+    }
+
+
+@register_check("cluster_coverage", order=70)
+def cluster_coverage_check(ctx: ValidationContext) -> CheckResult:
+    if ctx.reference_df is None:
+        return CheckResult("cluster_coverage", Status.PASS, summary="no reference split")
+    res = analyze_cluster_coverage(
+        ctx.reference_df, ctx.df,
+        columns=ctx.config.get("cluster_columns"),
+        n_clusters=ctx.config.get("n_clusters", 5),
+    )
+    if "error" in res:
+        return CheckResult("cluster_coverage", Status.WARNING, summary=res["error"])
+    return CheckResult(
+        name="cluster_coverage",
+        status=Status(res["status"]),
+        metrics={"coverage_pct": res["coverage_pct"],
+                 "uncovered_count": float(res["uncovered_count"])},
+        summary=f"{res['coverage_pct']:.2f}% of test rows within train clusters",
+    )

@@ -1,0 +1,186 @@
+"""Model-evaluation metric batteries as fused aggregations.
+
+Reference semantics (tanml/ui/views/evaluation/tabs/metrics.py:43-78,
+ui/services/cv.py:90-203):
+- classification: accuracy, precision, recall, F1 (zero_division=0
+  guards reproduced via try_divide+coalesce), ROC-AUC, plus balanced
+  accuracy and MCC (cv.py battery)
+- regression: RMSE, MAE, median AE, R²
+
+Spark-first execution:
+- the confusion matrix is ONE fused agg of four F.sum(F.when(...))
+  cells → every threshold metric is driver-side arithmetic on 4 longs;
+- ROC-AUC is the Mann-Whitney rank statistic
+  AUC = (Σ rank(score)|positives − n_pos(n_pos+1)/2) / (n_pos·n_neg),
+  with AVERAGE ranks for tied scores (exactly sklearn's tie handling):
+  one window rank + one agg — no curve materialization, no driver data;
+- regression metrics: one agg (median AE via exact percentile at test
+  scale, percentile_approx at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_cells(df: DataFrame, label_col: str = "label",
+                    pred_col: str = "prediction") -> dict[str, int]:
+    y, p = F.col(label_col), F.col(pred_col)
+    row = df.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    ).collect()[0]
+    return {k: row[k] or 0 for k in ("tp", "fp", "fn", "tn")}
+
+
+def classification_metrics(df: DataFrame, label_col: str = "label",
+                           pred_col: str = "prediction",
+                           score_col: str | None = None) -> dict[str, float]:
+    c = confusion_cells(df, label_col, pred_col)
+    tp, fp, fn, tn = c["tp"], c["fp"], c["fn"], c["tn"]
+    n = tp + fp + fn + tn
+
+    def safe(num, den):  # zero_division=0 (reference metrics.py:48-56)
+        return num / den if den else 0.0
+
+    precision = safe(tp, tp + fp)
+    recall = safe(tp, tp + fn)
+    f1 = safe(2 * precision * recall, precision + recall)
+    tnr = safe(tn, tn + fp)
+    mcc_den = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
+    out = {
+        "accuracy": safe(tp + tn, n),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "balanced_accuracy": (recall + tnr) / 2,
+        "mcc": safe(tp * tn - fp * fn, mcc_den),
+    }
+    if score_col:
+        out["roc_auc"] = roc_auc(df, label_col, score_col)
+    return {k: round(v, 9) for k, v in out.items()}
+
+
+def roc_auc(df: DataFrame, label_col: str = "label",
+            score_col: str = "score") -> float:
+    """Distributed ROC-AUC via the rank statistic with average ranks
+    for ties (== sklearn.roc_auc_score). One sort window + one agg."""
+    d = df.select(F.col(label_col).alias("y"), F.col(score_col).alias("s")).filter(
+        F.col("s").isNotNull() & F.col("y").isNotNull()
+    )
+    w = Window.orderBy("s")
+    tie = Window.partitionBy("s")
+    ranked = d.withColumn("r", F.rank().over(w)).withColumn(
+        "ar", F.col("r") + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+    )
+    row = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("ar"))).alias("rank_pos"),
+        F.sum((F.col("y") == 1).cast("long")).alias("np"),
+        F.sum((F.col("y") == 0).cast("long")).alias("nn"),
+    ).collect()[0]
+    n_pos, n_neg = row["np"] or 0, row["nn"] or 0
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    u = row["rank_pos"] - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def regression_metrics(df: DataFrame, label_col: str = "label",
+                       pred_col: str = "prediction",
+                       exact_median: bool = True) -> dict[str, float]:
+    y, p = F.col(label_col), F.col(pred_col)
+    err = p - y
+    med = (
+        F.expr(f"percentile(abs({pred_col} - {label_col}), 0.5)")
+        if exact_median
+        else F.percentile_approx(F.abs(err), 0.5, 10000)
+    )
+    row = df.agg(
+        F.sqrt(F.avg(F.pow(err, 2))).alias("rmse"),
+        F.avg(F.abs(err)).alias("mae"),
+        med.alias("median_ae"),
+        F.sum(F.pow(err, 2)).alias("sse"),
+        F.avg(y).alias("ybar"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    sst = df.agg(F.sum(F.pow(y - F.lit(row["ybar"]), 2))).collect()[0][0]
+    r2 = 1.0 - row["sse"] / sst if sst else float("nan")
+    return {
+        "rmse": round(float(row["rmse"]), 9),
+        "mae": round(float(row["mae"]), 9),
+        "median_ae": round(float(row["median_ae"]), 9),
+        "r2": round(float(r2), 9),
+    }
+
+
+def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
+                    pred_col: str = "prediction", score_col: str | None = None,
+                    id_col: str | None = None) -> DataFrame:
+    """Per-fold classification metrics in ONE grouped agg (+AUC per
+    fold via grouped rank windows). Fold assignment is deterministic:
+    hash of the row id, never F.rand() (cv.py:81-104 analog)."""
+    fold = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_folds))
+        if id_col
+        else F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_folds))
+    )
+    d = df.withColumn("fold", fold.cast("int"))
+    y, p = F.col(label_col), F.col(pred_col)
+    agg = d.groupBy("fold").agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    )
+    safe = lambda n_, d_: F.coalesce(F.try_divide(n_, d_), F.lit(0.0))
+    prec = safe(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = safe(F.col("tp"), F.col("tp") + F.col("fn"))
+    out = agg.select(
+        "fold",
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias("n"),
+        F.round(safe(F.col("tp") + F.col("tn"),
+                     F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")), 9)
+        .alias("accuracy"),
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(safe(2 * prec * rec, prec + rec), 9).alias("f1"),
+    )
+    if score_col:
+        w = Window.partitionBy("fold").orderBy(score_col)
+        tie = Window.partitionBy("fold", score_col)
+        ranked = d.withColumn("r", F.rank().over(w)).withColumn(
+            "ar", F.col("r") + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+        )
+        auc = ranked.groupBy("fold").agg(
+            F.round(
+                F.try_divide(
+                    F.sum(F.when(y == 1, F.col("ar")))
+                    - F.sum((y == 1).cast("long"))
+                    * (F.sum((y == 1).cast("long")) + 1) / 2.0,
+                    F.sum((y == 1).cast("long")) * F.sum((y == 0).cast("long")),
+                ), 9,
+            ).alias("roc_auc")
+        )
+        out = out.join(auc, "fold")
+    return out
+
+
+def cv_aggregate(fold_metrics: DataFrame) -> DataFrame:
+    """mean/std/p05/p50/p95/min/max per metric (cv.py:205-222)."""
+    metric_cols = [c for c in fold_metrics.columns if c not in ("fold", "n")]
+    pairs = ", ".join(f"'{c}', `{c}`" for c in metric_cols)
+    narrow = fold_metrics.select(
+        F.expr(f"stack({len(metric_cols)}, {pairs}) as (metric, value)")
+    )
+    return narrow.groupBy("metric").agg(
+        F.round(F.avg("value"), 9).alias("mean"),
+        F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 9).alias("std"),
+        F.round(F.expr("percentile(value, 0.05)"), 9).alias("p05"),
+        F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 9).alias("p95"),
+        F.round(F.min("value"), 9).alias("min"),
+        F.round(F.max("value"), 9).alias("max"),
+    )

@@ -1,0 +1,115 @@
+"""Perturbation stress test.
+
+Reference semantics (tanml/checks/stress_test.py:75-206): for every
+numeric feature, scale a deterministic ``perturb_fraction`` subset of
+rows by (1 ± ε), re-score the model, and report each metric and its
+delta vs the un-perturbed baseline (classification: accuracy/AUC;
+regression: RMSE/R²), rounded to 4 dp.
+
+Spark-first: the model is a pyspark.ml PipelineModel/Transformer —
+scoring is ``model.transform`` (distributed, JVM), never a per-row
+Python call. The perturbed frame is a single ``withColumn`` whose
+row-subset selection is a deterministic hash predicate
+(pmod(xxhash64(id), 100) < fraction·100), NOT rng.choice — so results
+are identical at any parallelism and on resume. Each (feature, sign)
+variant is one lazy projection; Spark runs scoring+metrics per variant
+as one job over the same cached input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.metrics import (
+    classification_metrics,
+    regression_metrics,
+    roc_auc,
+)
+
+
+def perturb(
+    df: DataFrame,
+    column: str,
+    epsilon: float,
+    sign: int,
+    perturb_fraction: float = 0.2,
+    id_col: str = "id",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale a deterministic ~fraction subset of `column` by (1±ε)."""
+    pick = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000)) < int(
+        perturb_fraction * 1000
+    )
+    factor = 1.0 + sign * epsilon
+    return df.withColumn(
+        column,
+        F.when(pick, F.col(column) * F.lit(factor)).otherwise(F.col(column)),
+    )
+
+
+def stress_test(
+    model,
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    task_type: str = "classification",
+    epsilon: float = 0.01,
+    perturb_fraction: float = 0.2,
+    id_col: str = "id",
+    score_col: str = "probability",
+    pred_col: str = "prediction",
+) -> list[dict]:
+    """Per-(feature, ±ε) metric deltas vs baseline; rounded to 4 dp
+    like the reference (stress_test.py:155-178)."""
+    df = df.cache()
+
+    def score(frame: DataFrame) -> DataFrame:
+        out = model.transform(frame)
+        if task_type == "classification":
+            # probability of class 1 from the ml vector column
+            from pyspark.ml.functions import vector_to_array
+
+            return out.select(
+                F.col(label_col).alias("label"),
+                F.col(pred_col).alias("prediction"),
+                vector_to_array(F.col(score_col)).getItem(1).alias("score"),
+            )
+        return out.select(F.col(label_col).alias("label"),
+                          F.col(pred_col).alias("prediction"))
+
+    if task_type == "classification":
+        base_scored = score(df)
+        acc_base = classification_metrics(base_scored)["accuracy"]
+        auc_base = roc_auc(base_scored, "label", "score")
+    else:
+        base = regression_metrics(score(df))
+        rmse_base, r2_base = base["rmse"], base["r2"]
+
+    results = []
+    for col in feature_cols:
+        for sign in (+1, -1):
+            lab = f"{'+' if sign > 0 else '-'}{round(epsilon * 100, 2)}%"
+            pdf = perturb(df, col, epsilon, sign, perturb_fraction, id_col)
+            scored = score(pdf)
+            if task_type == "classification":
+                m = classification_metrics(scored)
+                auc = roc_auc(scored, "label", "score")
+                results.append({
+                    "feature": col, "perturbation": lab,
+                    "accuracy": round(m["accuracy"], 4),
+                    "auc": round(auc, 4),
+                    "delta_accuracy": round(m["accuracy"] - acc_base, 4),
+                    "delta_auc": round(auc - auc_base, 4),
+                })
+            else:
+                m = regression_metrics(scored)
+                results.append({
+                    "feature": col, "perturbation": lab,
+                    "rmse": round(m["rmse"], 4),
+                    "r2": round(m["r2"], 4),
+                    "delta_rmse": round(m["rmse"] - rmse_base, 4),
+                    "delta_r2": round(m["r2"] - r2_base, 4),
+                })
+    df.unpersist()
+    return results

@@ -1,0 +1,72 @@
+"""Schema alignment + task-type inference.
+
+Reference semantics:
+- alignment (tanml/ui/services/data.py:51-72): the test set must
+  contain every train column (raise on missing), extra test columns
+  are dropped, column order is forced to train's, and numeric train
+  dtypes are coerced with to_numeric(errors='coerce') — here a
+  try_cast (nulls on failure, never a job abort).
+- task inference (tanml/models/registry.py:528-558; checks/base.py
+  variant uses ≤10): float-with-decimals ⇒ regression; integer/str
+  with few distinct ⇒ classification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+           T.DoubleType, T.DecimalType)
+
+
+class SchemaAlignmentError(ValueError):
+    pass
+
+
+def align_schema(train: DataFrame, test: DataFrame) -> DataFrame:
+    """Return test projected/coerced to train's schema."""
+    train_fields = {f.name: f.dataType for f in train.schema.fields}
+    missing = [c for c in train_fields if c not in test.columns]
+    if missing:
+        raise SchemaAlignmentError(
+            f"test set is missing required columns: {sorted(missing)}"
+        )
+    cols = []
+    for name, dt in train_fields.items():  # train's order
+        c = F.col(name)
+        if isinstance(dt, NUMERIC) and test.schema[name].dataType != dt:
+            c = c.try_cast(dt)  # to_numeric(errors='coerce') analog
+        cols.append(c.alias(name))
+    return test.select(*cols)
+
+
+def schema_diff(train: DataFrame, test: DataFrame) -> dict:
+    """Fail-fast schema report: missing/extra/type-changed columns."""
+    tr = {f.name: f.dataType.simpleString() for f in train.schema.fields}
+    te = {f.name: f.dataType.simpleString() for f in test.schema.fields}
+    return {
+        "missing_in_test": sorted(set(tr) - set(te)),
+        "extra_in_test": sorted(set(te) - set(tr)),
+        "dtype_changed": sorted(
+            c for c in set(tr) & set(te) if tr[c] != te[c]
+        ),
+    }
+
+
+def infer_task_type(df: DataFrame, label_col: str, max_classes: int = 10) -> str:
+    """'regression' or 'classification' (registry.py:528-558 variant
+    with the checks/base.py ≤10 threshold)."""
+    dt = df.schema[label_col].dataType
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        has_decimals = df.filter(
+            F.col(label_col).isNotNull()
+            & (F.col(label_col) != F.floor(label_col))
+        ).limit(1).count()
+        if has_decimals:
+            return "regression"
+    if isinstance(dt, T.StringType):
+        return "classification"
+    n = df.select(label_col).na.drop().distinct().limit(max_classes + 1).count()
+    return "classification" if n <= max_classes else "regression"

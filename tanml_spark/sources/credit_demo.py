@@ -1,0 +1,62 @@
+"""Reference-parity fixture: the seeded synthetic credit-risk table.
+
+Reproduces the reference demo generator EXACTLY (same numpy legacy
+seeding and draw order, reference scripts/generate_demo_data.py:11-56)
+so Spark checks can be asserted numerically against reference formulas
+on identical data (FIXTURES.md F2). 1000 rows is a test fixture — it is
+built driver-side and parallelized; the engine's scale input is
+sources/code_files.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+FEATURES = [
+    "income", "credit_score", "age", "loan_amount", "debt_to_income",
+    "employment_months", "previous_defaults", "savings_balance",
+    "years_at_residence", "open_credit_lines",
+]
+
+
+def credit_pdf(seed: int = 42, n_samples: int = 1000) -> pd.DataFrame:
+    np.random.seed(seed)  # legacy global seeding — must match reference
+    data = {
+        "income": np.random.normal(75000, 25000, n_samples).round(2),
+        "credit_score": np.random.normal(680, 80, n_samples).clip(300, 850).astype(int),
+        "age": np.random.normal(42, 12, n_samples).clip(18, 85).astype(int),
+        "loan_amount": np.random.normal(20000, 10000, n_samples).clip(1000, 100000).round(2),
+        "debt_to_income": np.random.beta(2, 5, n_samples).round(4),
+        "employment_months": np.random.poisson(72, n_samples).clip(0, 500),
+        "previous_defaults": np.random.choice([0, 1, 2], p=[0.85, 0.12, 0.03], size=n_samples),
+        "savings_balance": (np.random.exponential(10000, n_samples)).round(2),
+        "years_at_residence": np.random.poisson(6, n_samples).clip(0, 50),
+        "open_credit_lines": np.random.poisson(5, n_samples).clip(1, 30),
+    }
+    df = pd.DataFrame(data)
+    z = (
+        0.5 * (df["debt_to_income"] * 10)
+        + 1.5 * df["previous_defaults"]
+        - 0.005 * (df["credit_score"] - 300)
+        - 0.00001 * df["income"]
+        + 1.0
+    )
+    prob = 1 / (1 + np.exp(-z))
+    df["target"] = (np.random.rand(n_samples) < prob).astype(int)
+    return df
+
+
+def gen_credit_demo(
+    spark: SparkSession, seed: int = 42, n_samples: int = 1000
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) Spark DataFrames; 80/20 head/tail split
+    (generate_demo_data.py:54-56) with a row id for determinism."""
+    pdf = credit_pdf(seed, n_samples).reset_index(names="id")
+    for c in ["employment_months", "previous_defaults", "years_at_residence",
+              "open_credit_lines", "credit_score", "age", "target", "id"]:
+        pdf[c] = pdf[c].astype("int64")
+    df = spark.createDataFrame(pdf)
+    cut = int(n_samples * 0.8)
+    return df.filter(f"id < {cut}"), df.filter(f"id >= {cut}")

@@ -1,0 +1,157 @@
+"""Metric batteries, schema alignment, imputation, cluster coverage,
+stress test — vs numpy oracles and reference anchors."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.clustering import analyze_cluster_coverage
+from tanml_spark.checks.metrics import (
+    classification_metrics,
+    cv_aggregate,
+    cv_fold_metrics,
+    regression_metrics,
+    roc_auc,
+)
+from tanml_spark.operators.impute import impute, impute_values
+from tanml_spark.operators.schema_align import (
+    SchemaAlignmentError,
+    align_schema,
+    infer_task_type,
+    schema_diff,
+)
+
+
+def np_auc(y, s):
+    """Rank-statistic AUC with average ranks (sklearn-equivalent)."""
+    order = np.argsort(s)
+    ranks = np.empty(len(s), dtype=float)
+    ranks[order] = np.arange(1, len(s) + 1)
+    # average ranks for ties
+    sr = pd.Series(s)
+    ranks = sr.rank(method="average").to_numpy()
+    n_pos, n_neg = (y == 1).sum(), (y == 0).sum()
+    return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+@pytest.fixture(scope="module")
+def preds(spark):
+    rng = np.random.default_rng(42)
+    n = 2000
+    y = rng.integers(0, 2, n)
+    score = np.clip(y * 0.3 + rng.random(n) * 0.7, 0, 1)
+    score = np.round(score, 2)  # create ties to test average-rank handling
+    pred = (score >= 0.5).astype(int)
+    rows = [(int(i), int(a), int(b), float(c)) for i, (a, b, c) in
+            enumerate(zip(y, pred, score))]
+    df = spark.createDataFrame(rows, "id long, label int, prediction int, score double")
+    return df.cache(), y, pred, score
+
+
+def test_classification_metrics_match_numpy(preds):
+    df, y, p, s = preds
+    got = classification_metrics(df, score_col="score")
+    tp = ((y == 1) & (p == 1)).sum(); fp = ((y == 0) & (p == 1)).sum()
+    fn = ((y == 1) & (p == 0)).sum(); tn = ((y == 0) & (p == 0)).sum()
+    assert got["accuracy"] == round((tp + tn) / len(y), 9)
+    assert got["precision"] == round(tp / (tp + fp), 9)
+    assert got["recall"] == round(tp / (tp + fn), 9)
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert got["f1"] == round(2 * prec * rec / (prec + rec), 9)
+    assert abs(got["roc_auc"] - np_auc(y, s)) < 1e-9
+
+
+def test_regression_metrics_match_numpy(spark):
+    rng = np.random.default_rng(7)
+    y = rng.normal(10, 3, 1500)
+    p = y + rng.normal(0, 1, 1500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "label double, prediction double"
+    )
+    got = regression_metrics(df)
+    err = p - y
+    assert abs(got["rmse"] - np.sqrt((err ** 2).mean())) < 1e-9
+    assert abs(got["mae"] - np.abs(err).mean()) < 1e-9
+    assert abs(got["median_ae"] - np.percentile(np.abs(err), 50)) < 1e-9
+    r2 = 1 - (err ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(got["r2"] - r2) < 1e-9
+
+
+def test_cv_folds(preds):
+    df, *_ = preds
+    folds = cv_fold_metrics(df, n_folds=5, score_col="score", id_col="id")
+    rows = folds.collect()
+    assert len(rows) == 5
+    assert sum(r["n"] for r in rows) == 2000
+    for r in rows:
+        assert 0.5 <= r["roc_auc"] <= 1.0
+    agg = {r["metric"]: r for r in cv_aggregate(folds).collect()}
+    assert set(agg) == {"accuracy", "precision", "recall", "f1", "roc_auc"}
+    a = agg["accuracy"]
+    assert a["min"] <= a["p05"] <= a["p50"] <= a["p95"] <= a["max"]
+    # deterministic folds: rerun identical
+    again = sorted(map(tuple, cv_fold_metrics(df, 5, score_col="score", id_col="id").collect()))
+    assert again == sorted(map(tuple, folds.collect()))
+
+
+def test_schema_alignment(spark):
+    train = spark.createDataFrame([(1, 1.0, "x")], "a int, b double, c string")
+    test = spark.createDataFrame([("2", "3.5", "y", 9)], "a string, b string, c string, d int")
+    aligned = align_schema(train, test)
+    assert aligned.columns == ["a", "b", "c"]          # order forced, extra dropped
+    assert dict(aligned.dtypes) == {"a": "int", "b": "double", "c": "string"}
+    row = aligned.collect()[0]
+    assert row["a"] == 2 and row["b"] == 3.5
+    # coercion failure -> null, not error
+    bad = spark.createDataFrame([("zz", "n/a", "y")], "a string, b string, c string")
+    row2 = align_schema(train, bad).collect()[0]
+    assert row2["a"] is None and row2["b"] is None
+    with pytest.raises(SchemaAlignmentError):
+        align_schema(train, spark.createDataFrame([(1,)], "a int"))
+    d = schema_diff(train, test)
+    assert d["extra_in_test"] == ["d"] and d["dtype_changed"] == ["a", "b"]
+
+
+def test_task_inference_anchors(spark):
+    """Reference anchors (tests/test_models_registry.py:51-70)."""
+    floats = spark.createDataFrame([(x / 7,) for x in range(100)], "y double")
+    many_ints = spark.createDataFrame([(x,) for x in range(100)], "y int")
+    binary = spark.createDataFrame([(x % 2,) for x in range(100)], "y int")
+    strings = spark.createDataFrame([(str(x % 3),) for x in range(100)], "y string")
+    assert infer_task_type(floats, "y") == "regression"
+    assert infer_task_type(many_ints, "y") == "regression"
+    assert infer_task_type(binary, "y") == "classification"
+    assert infer_task_type(strings, "y") == "classification"
+
+
+def test_impute_matches_pandas(spark):
+    pdf = pd.DataFrame({
+        "a": [1.0, None, 3.0, 4.0, None],
+        "b": [10.0, 20.0, None, 40.0, 50.0],
+        "c": ["x", None, "y", "x", None],
+    })
+    df = spark.createDataFrame(pdf)
+    vals = impute_values(df, {"a": "mean", "b": "median", "c": "mode"})
+    assert abs(vals["a"] - pdf["a"].mean()) < 1e-12
+    assert abs(vals["b"] - pdf["b"].median()) < 1e-12
+    assert vals["c"] == "x"
+    out = impute(df, {"a": "mean", "b": "median", "c": "mode"}).toPandas()
+    assert out.isna().sum().sum() == 0
+
+
+def test_cluster_coverage(spark):
+    rng = np.random.default_rng(42)
+    train = rng.standard_normal((800, 3))
+    inside = rng.standard_normal((180, 3)) * 0.8
+    outside = rng.standard_normal((20, 3)) + 25.0   # far away
+    test = np.vstack([inside, outside])
+    tr = spark.createDataFrame([tuple(map(float, r)) for r in train], "x double, y double, z double")
+    te = spark.createDataFrame([tuple(map(float, r)) for r in test], "x double, y double, z double")
+    res = analyze_cluster_coverage(tr, te, n_clusters=4)
+    assert res["uncovered_count"] == 20
+    assert abs(res["coverage_pct"] - 90.0) < 1e-6
+    assert res["status"] == "pass"
+    dist = res["cluster_distribution"]
+    assert sum(d["train_count"] for d in dist.values()) == 800
+    assert abs(sum(d["test_pct"] for d in dist.values()) - 100.0) < 1e-6

@@ -1,0 +1,90 @@
+"""Stress test with a real pyspark.ml model on the reference-parity
+credit fixture + end-to-end drift parity on the same data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.drift import analyze_drift
+from tanml_spark.checks.stress import perturb, stress_test
+from tanml_spark.sources.credit_demo import FEATURES, credit_pdf, gen_credit_demo
+
+
+@pytest.fixture(scope="module")
+def credit(spark):
+    train, test = gen_credit_demo(spark)
+    return train.cache(), test.cache()
+
+
+@pytest.fixture(scope="module")
+def lr_model(credit):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    train, _ = credit
+    va = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol="target", maxIter=20)
+    return Pipeline(stages=[va, lr]).fit(train)
+
+
+def test_credit_fixture_matches_reference_generator():
+    pdf = credit_pdf()
+    assert len(pdf) == 1000
+    # spot anchors from the exact legacy-seeded draw
+    np.random.seed(42)
+    first_income = round(np.random.normal(75000, 25000, 1000)[0], 2)
+    assert pdf["income"].iloc[0] == first_income
+    assert set(pdf["target"].unique()) <= {0, 1}
+    assert 0.1 < pdf["target"].mean() < 0.9
+
+
+def test_perturb_deterministic_and_bounded(credit):
+    train, _ = credit
+    a = perturb(train, "income", 0.01, +1, 0.2, "id").select("id", "income")
+    b = perturb(train, "income", 0.01, +1, 0.2, "id").select("id", "income")
+    pa, pb = a.toPandas().set_index("id"), b.toPandas().set_index("id")
+    pd.testing.assert_frame_equal(pa, pb)
+    orig = train.select("id", "income").toPandas().set_index("id")
+    changed = (pa["income"] != orig["income"]).mean()
+    assert 0.12 < changed < 0.28  # ~20% of rows perturbed
+    ratio = pa["income"][pa["income"] != orig["income"]] / orig["income"][pa["income"] != orig["income"]]
+    assert np.allclose(ratio, 1.01)
+
+
+def test_stress_test_classification(credit, lr_model):
+    _, test = credit
+    rows = stress_test(
+        lr_model, test, FEATURES[:4], label_col="target",
+        task_type="classification", epsilon=0.01,
+    )
+    assert len(rows) == 8  # 4 features x (+/-)
+    df = pd.DataFrame(rows)
+    assert set(df.columns) == {"feature", "perturbation", "accuracy", "auc",
+                               "delta_accuracy", "delta_auc"}
+    assert (df["auc"] > 0.5).all()           # model is better than random
+    assert (df["delta_auc"].abs() < 0.2).all()  # 1% perturbation is mild
+    # extreme epsilon doesn't crash (reference regression anchor,
+    # tests/test_final_verification.py stress at eps=1.0)
+    big = stress_test(lr_model, test, FEATURES[:1], label_col="target",
+                      task_type="classification", epsilon=1.0)
+    assert len(big) == 2
+
+
+def test_drift_on_credit_splits(credit):
+    """Same-distribution 80/20 split: no severe drift on any feature."""
+    train, test = credit
+    res = analyze_drift(train, test, FEATURES, with_ks=True)
+    rows = res.collect()
+    assert len(rows) == len(FEATURES)
+    severe = [r["column"] for r in rows if r["drift_level"] == "severe"]
+    assert severe == []
+    # parity with the reference formula on identical data
+    pdf_tr = credit_pdf().iloc[:800]
+    pdf_te = credit_pdf().iloc[800:]
+    from tests.test_drift import ref_psi
+    for r in rows:
+        exp = ref_psi(pdf_tr[r["column"]].to_numpy(dtype=float),
+                      pdf_te[r["column"]].to_numpy(dtype=float))
+        assert abs(r["psi"] - exp) < 1e-9, r["column"]

@@ -133,8 +133,9 @@ def main() -> None:
     timings["suite"] = round(suite_sec, 3)
 
     from tanml_spark.entry_queries import all_queries
+    from tanml_spark.entry_queries2 import all_queries2
 
-    for name, q in sorted(all_queries().items()):
+    for name, q in sorted({**all_queries(), **all_queries2()}.items()):
         t0 = time.time()
         q(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

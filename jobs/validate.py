@@ -78,16 +78,24 @@ def main() -> None:
 
     ctx = ValidationContext(
         df=df,
-        reference_df=df.filter(F.col("split") == "train") if "split" in df.columns else None,
         dims={"repos": parent} if parent is not None else {},
         config={"unique_keys": args.unique_keys.split(",")},
     )
     checks = ["column_risks", "uniqueness", "iqr_outliers"]
     if parent is not None:
         checks.append("referential_integrity")
-    if ctx.reference_df is not None:
-        checks += ["leakage", "drift"]
     results = runner.run_suite(ctx, checks=checks, resume=args.resume)
+
+    # split-dependent checks compare the test split against train
+    if "split" in df.columns:
+        split_ctx = ValidationContext(
+            df=df.filter(F.col("split") == "test"),
+            reference_df=df.filter(F.col("split") == "train"),
+            config={"leakage_cols": args.unique_keys.split(",")},
+        )
+        results.update(
+            runner.run_suite(split_ctx, checks=["leakage", "drift"], resume=args.resume)
+        )
 
     print(json.dumps({
         "verdict_rows": n,

@@ -1,0 +1,4 @@
+from tanml_spark.streaming.incremental import (  # noqa: F401
+    incremental_validate,
+    validate_stream,
+)

@@ -1,0 +1,105 @@
+"""Incremental re-validation.
+
+The reference is strictly batch (SURVEY.md §2.10) and the north rule
+models incremental work as *checkpointed batch*. Two idioms here:
+
+- ``incremental_validate``: checkpointed batch diff — validate only
+  rows not seen by the last run (``exceptAll``-style via a left-anti
+  join on the row hash) and merge the new verdicts into the state.
+  This is the scale path for an Iceberg table that grows by snapshots:
+  at 10^12 files you'd anti-join on the snapshot/partition watermark
+  instead of the row hash, but the mechanics are identical.
+
+- ``validate_stream``: the Structured Streaming wrapper —
+  ``Trigger.AvailableNow`` + ``foreachBatch(validate)`` running the
+  SAME batch check functions per micro-batch. Nothing in the check
+  implementations changes; the wrapper only supplies the source/sink.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.constraints import Rule, check_constraints
+from tanml_spark.functions.hashing import logical_partition, row_sha256
+
+
+def incremental_validate(
+    spark: SparkSession,
+    df: DataFrame,
+    rules: list[dict | Rule],
+    state_dir: str,
+    partition_key_col: str = "repo",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Validate only rows whose content hash was not validated before.
+
+    Returns the verdicts for the NEW rows; appends their hashes to the
+    seen-state. Two consecutive runs over the same table: second run
+    validates zero rows.
+    """
+    seen_path = os.path.join(state_dir, "seen_hashes")
+    hashed = df.withColumn("__row_hash", row_sha256(df.schema))
+    if os.path.exists(seen_path) and any(
+        f.endswith(".parquet") for _, _, fs in os.walk(seen_path) for f in fs
+    ):
+        seen = spark.read.parquet(seen_path)
+        fresh = hashed.join(seen, "__row_hash", "left_anti")
+    else:
+        fresh = hashed
+
+    keyed = fresh.withColumn(
+        "partition_key", logical_partition(F.col(partition_key_col), n_buckets).cast("string")
+    )
+    verdicts = check_constraints(keyed, rules, group_by=["partition_key"])
+    # Materialize to rows BEFORE mutating state: appending to seen_path
+    # invalidates any cached plan that scans it (Spark refreshes caches
+    # on write), so a lazily-returned verdict frame would silently
+    # recompute against the UPDATED state and come back empty.
+    rows = verdicts.collect()
+    fresh.select("__row_hash").write.mode("append").parquet(seen_path)
+    return spark.createDataFrame(rows, verdicts.schema)
+
+
+def validate_stream(
+    source_dir: str,
+    checkpoint_dir: str,
+    rules: list[dict | Rule],
+    on_batch: Callable[[DataFrame, int, DataFrame], None] | None = None,
+    partition_key_col: str = "repo",
+    schema=None,
+    spark: SparkSession | None = None,
+):
+    """Structured Streaming wrapper: validate each micro-batch of a
+    growing parquet directory with the SAME batch check functions.
+
+    ``Trigger.AvailableNow`` drains everything available then stops —
+    the idiomatic "incremental batch" trigger. Returns the query
+    (already awaiting termination)."""
+    spark = spark or SparkSession.getActiveSession()
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.withColumn(
+            "partition_key",
+            logical_partition(F.col(partition_key_col), 64).cast("string"),
+        )
+        verdicts = check_constraints(keyed, rules, group_by=["partition_key"])
+        if on_batch is not None:
+            on_batch(batch_df, batch_id, verdicts)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

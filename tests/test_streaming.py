@@ -1,0 +1,47 @@
+"""Incremental/stream validation wrappers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.sources.code_files import gen_code_files
+from tanml_spark.streaming.incremental import incremental_validate, validate_stream
+
+RULES = [{"type": "not_null", "column": "lang", "name": "lang_not_null"}]
+
+
+def test_incremental_validate(spark, tmp_path):
+    state = str(tmp_path / "state")
+    df1 = gen_code_files(spark, 1000, 50)
+    v1 = incremental_validate(spark, df1, RULES, state)
+    n1 = v1.agg(F.sum("n_rows")).collect()[0][0]
+    assert n1 == 1000
+    # same data again: nothing new to validate
+    v2 = incremental_validate(spark, df1, RULES, state)
+    assert v2.count() == 0
+    # grown table: only the delta is validated
+    df2 = gen_code_files(spark, 1500, 50)
+    v3 = incremental_validate(spark, df2, RULES, state)
+    n3 = v3.agg(F.sum("n_rows")).collect()[0][0]
+    assert n3 == 500
+
+
+def test_validate_stream_available_now(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    df = gen_code_files(spark, 800, 40)
+    df.write.parquet(src)
+    seen = {}
+
+    def on_batch(batch_df, batch_id, verdicts):
+        seen["rows"] = batch_df.count()
+        seen["verdicts"] = verdicts.collect()
+
+    validate_stream(src, ckpt, RULES, on_batch=on_batch,
+                    schema=df.schema, spark=spark)
+    assert seen["rows"] == 800
+    assert sum(r["n_rows"] for r in seen["verdicts"]) == 800
+    # second run with same checkpoint: no new files -> no batch
+    seen.clear()
+    validate_stream(src, ckpt, RULES, on_batch=on_batch,
+                    schema=df.schema, spark=spark)
+    assert "rows" not in seen or seen["rows"] == 0

@@ -108,7 +108,11 @@ def compile_agg_exprs(rules: list[Rule]) -> list[Column]:
     exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for r in rules:
         pred = violation_predicate(r)
-        exprs.append(F.sum(pred.cast("long")).alias(f"viol{r.rule_id}"))
+        # coalesce: sum over an empty table is NULL, but zero rows
+        # violate zero constraints
+        exprs.append(
+            F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(f"viol{r.rule_id}")
+        )
     return exprs
 
 

@@ -295,6 +295,73 @@ SELECT u.* FROM (
 """
 
 
+# ----------------------------------------------- q: events (ts + JSON)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped profile over the events stream table: counts, exact
+    distinct users, value stats, min/max event time."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+SQL_EVENTS_PROFILE = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 6) AS avg_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hourly) event counts — the batch shape of a
+    streaming windowed aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + constraint on the field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("k_nulls"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(F.avg("k"), 6).alias("k_avg"),
+    )
+
+
+SQL_EVENTS_JSON = """
+WITH t AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+)
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS k_nulls,
+       min(k) AS k_min, max(k) AS k_max, round(avg(k), 6) AS k_avg
+FROM t
+"""
+
+
 # --------------------------- rows-only queries (hash-based, no oracle)
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection with injected known positives
@@ -335,6 +402,9 @@ def all_queries2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
         "corr_pairs": q_corr_pairs,
+        "events_profile": q_events_profile,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "fingerprints": q_fingerprints,
@@ -350,5 +420,8 @@ def all_oracles2() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "quality_stats": SQL_QUALITY_STATS,
         "corr_pairs": SQL_CORR_PAIRS,
+        "events_profile": SQL_EVENTS_PROFILE,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "events_json": SQL_EVENTS_JSON,
         # minhash/simhash/fingerprints: xxhash64-based -> rows-only
     }

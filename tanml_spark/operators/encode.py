@@ -1,0 +1,65 @@
+"""Categorical encoding.
+
+Reference semantics (tanml/ui/views/preprocessing.py:224-229):
+- one-hot via pd.get_dummies(drop_first=True): columns for every
+  category EXCEPT the first in sorted order;
+- label encoding via category codes: codes follow sorted category
+  order, null → -1.
+
+Spark-first: the category vocabulary is one distinct scan (sorted on
+the driver — vocabularies are small by definition or the column should
+not be one-hot encoded); the encoded columns are pure `when`
+projections, fully codegen'd. pyspark.ml StringIndexer/OneHotEncoder
+are frequency-ordered and vector-typed — these helpers exist for
+column-shaped, pandas-parity output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_CATEGORIES = 1000
+
+
+def _vocab(df: DataFrame, column: str) -> list:
+    vals = (
+        df.select(column).filter(F.col(column).isNotNull()).distinct()
+        .orderBy(column).limit(MAX_CATEGORIES + 1).collect()
+    )
+    if len(vals) > MAX_CATEGORIES:
+        raise ValueError(
+            f"{column} has > {MAX_CATEGORIES} categories; one-hot/label "
+            "encoding a high-cardinality column is an error at scale"
+        )
+    return [r[0] for r in vals]
+
+
+def label_encode(df: DataFrame, column: str, out_col: str | None = None) -> DataFrame:
+    """Sorted-category integer codes; null → -1 (pandas cat.codes)."""
+    vocab = _vocab(df, column)
+    out_col = out_col or f"{column}_code"
+    expr = F.lit(-1)
+    for i, v in reversed(list(enumerate(vocab))):
+        expr = F.when(F.col(column) == F.lit(v), F.lit(i)).otherwise(expr)
+    return df.withColumn(out_col, expr.cast("int"))
+
+
+def _safe(v) -> str:
+    return re.sub(r"[^0-9a-zA-Z_]", "_", str(v))
+
+
+def one_hot(df: DataFrame, column: str, drop_first: bool = True) -> DataFrame:
+    """0/1 indicator columns `{column}_{value}` (get_dummies parity)."""
+    vocab = _vocab(df, column)
+    keep = vocab[1:] if drop_first else vocab
+    # null rows -> all zeros (get_dummies parity), hence the coalesce
+    cols = [
+        F.coalesce((F.col(column) == F.lit(v)).cast("int"), F.lit(0)).alias(
+            f"{column}_{_safe(v)}"
+        )
+        for v in keep
+    ]
+    return df.select("*", *cols)

@@ -75,7 +75,10 @@ def _scan1_grouped(
     numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
     exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for r in rules:
-        exprs.append(F.sum(violation_predicate(r).cast("long")).alias(f"viol__{r.rule_id}"))
+        exprs.append(
+            F.coalesce(F.sum(violation_predicate(r).cast("long")), F.lit(0))
+            .alias(f"viol__{r.rule_id}")
+        )
     for c in profile_cols:
         exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"))
         exprs.append(F.hll_sketch_agg(F.col(c).cast("string")).alias(f"hll__{c}"))

@@ -1,0 +1,40 @@
+"""Encoding parity with pandas get_dummies / cat.codes."""
+
+import pandas as pd
+import pytest
+
+from tanml_spark.operators.encode import label_encode, one_hot
+
+
+@pytest.fixture(scope="module")
+def cat_df(spark):
+    rows = [("b",), ("a",), ("c",), ("a",), (None,), ("b",)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_label_encode_matches_pandas(cat_df):
+    got = [r["k_code"] for r in label_encode(cat_df, "k").collect()]
+    pdf = pd.Series(["b", "a", "c", "a", None, "b"], dtype="category")
+    assert got == pdf.cat.codes.tolist()  # [1, 0, 2, 0, -1, 1]
+
+
+def test_one_hot_matches_get_dummies(cat_df):
+    out = one_hot(cat_df, "k", drop_first=True).toPandas()
+    assert set(out.columns) == {"k", "k_b", "k_c"}  # 'a' dropped (first sorted)
+    exp = pd.get_dummies(
+        pd.Series(["b", "a", "c", "a", None, "b"]), prefix="k", drop_first=True
+    ).astype(int)
+    got = out[["k_b", "k_c"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_high_cardinality_guard(spark):
+    import tanml_spark.operators.encode as enc
+    big = spark.range(2000).selectExpr("cast(id as string) as k")
+    old = enc.MAX_CATEGORIES
+    enc.MAX_CATEGORIES = 100
+    try:
+        with pytest.raises(ValueError):
+            one_hot(big, "k")
+    finally:
+        enc.MAX_CATEGORIES = old

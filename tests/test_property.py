@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): constraint compiler and profile
+agree with pandas on arbitrary small tables."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tanml_spark.constraints import check_constraints
+from tanml_spark.operators.profile import profile
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.one_of(
+    st.none(),
+    st.integers(min_value=-1000, max_value=1000),
+)
+texts = st.one_of(st.none(), st.text(alphabet="abcXYZ 0-|", max_size=12))
+
+
+@st.composite
+def tables(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    xs = draw(st.lists(values, min_size=n, max_size=n))
+    ss = draw(st.lists(texts, min_size=n, max_size=n))
+    return pd.DataFrame({
+        "x": pd.array(xs, dtype="Int64"),
+        "s": pd.Series(ss, dtype="object"),
+    })
+
+
+@given(pdf=tables(), lo=st.integers(-500, 0), hi=st.integers(1, 500))
+@SETTINGS
+def test_constraints_match_pandas(spark, pdf, lo, hi):
+    sdf = spark.createDataFrame(
+        [(None if pd.isna(x) else int(x), s) for x, s in zip(pdf["x"], pdf["s"])],
+        "x long, s string",
+    )
+    rules = [
+        {"type": "not_null", "column": "x", "name": "x_nn"},
+        {"type": "range", "column": "x", "min": lo, "max": hi, "name": "x_rng"},
+        {"type": "not_empty", "column": "s", "name": "s_ne"},
+        {"type": "regex", "column": "s", "pattern": "^[a-z]+$", "name": "s_re"},
+    ]
+    got = {r["rule_id"]: r["violations"] for r in check_constraints(sdf, rules).collect()}
+    x = pdf["x"]
+    s = pdf["s"]
+    assert got["x_nn"] == int(x.isna().sum())
+    assert got["x_rng"] == int(((x < lo) | (x > hi)).sum())
+    assert got["s_ne"] == int((s.isna() | (s.astype("string").fillna("") == "")).sum())
+    import re as _re
+    pat = _re.compile(r"^[a-z]+$")
+    assert got["s_re"] == sum(
+        1 for v in s if v is not None and not pd.isna(v) and not pat.search(v)
+    )
+
+
+@given(pdf=tables())
+@SETTINGS
+def test_profile_matches_pandas_property(spark, pdf):
+    sdf = spark.createDataFrame(
+        [(None if pd.isna(x) else int(x), s) for x, s in zip(pdf["x"], pdf["s"])],
+        "x long, s string",
+    )
+    row = profile(sdf, columns=["x", "s"], approx=False).collect()[0]
+    x = pdf["x"]
+    assert row["n_rows"] == len(pdf)
+    assert row["x__nulls"] == int(x.isna().sum())
+    assert row["x__distinct"] == int(x.nunique(dropna=True))
+    if x.notna().any():
+        assert row["x__min"] == int(x.min())
+        assert row["x__max"] == int(x.max())
+        assert math.isclose(row["x__mean"], float(x.mean()), rel_tol=0, abs_tol=5e-10)
+    else:
+        assert row["x__min"] is None

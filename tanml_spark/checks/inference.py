@@ -1,0 +1,63 @@
+"""Feature-significance inference + feature ranking.
+
+Reference semantics:
+- statsmodels OLS/Logit coefficient tables: coef, std err, t/z,
+  P>|t|, sorted by p-value (tanml/ui/views/ranking.py:310-341,
+  ui/views/evaluation/tabs/inference.py:39-117)
+- power-score normalization `importance / max * 100` and ranking
+  (ranking.py:288, 366)
+
+Spark-first: pyspark.ml GeneralizedLinearRegression (family gaussian ≡
+OLS, binomial ≡ logit) — the IRLS fit and the covariance matrix are
+computed distributed in the JVM; its training summary exposes
+coefficientStandardErrors / tValues / pValues directly, so no scipy
+and no driver-side matrix assembly beyond k×k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def feature_significance(
+    df: DataFrame,
+    features: list[str],
+    label_col: str,
+    task_type: str = "regression",
+    reg_param: float = 0.0,
+) -> DataFrame:
+    """Coefficient table: (feature, coef, std_err, stat, p_value),
+    intercept last, sorted by p_value like the reference tables."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    clean = df.select(*features, label_col).na.drop()
+    va = VectorAssembler(inputCols=features, outputCol="features")
+    family = "gaussian" if task_type == "regression" else "binomial"
+    glr = GeneralizedLinearRegression(
+        family=family, featuresCol="features", labelCol=label_col, regParam=reg_param
+    )
+    model = glr.fit(va.transform(clean))
+    s = model.summary
+    names = list(features) + ["__intercept__"]
+    coefs = [float(c) for c in model.coefficients] + [float(model.intercept)]
+    rows = list(zip(names, coefs, s.coefficientStandardErrors, s.tValues, s.pValues))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(n, round(c, 9), round(float(se), 9), round(float(t), 9), round(float(p), 9))
+         for n, c, se, t, p in rows],
+        "feature string, coef double, std_err double, stat double, p_value double",
+    )
+    return out.orderBy("p_value")
+
+
+def rank_features(importance: DataFrame, score_col: str = "importance") -> DataFrame:
+    """Add power = score/max*100 and dense rank (ranking.py:288, 366)."""
+    w_all = Window.partitionBy()
+    power = F.round(F.col(score_col) / F.max(score_col).over(w_all) * 100.0, 9)
+    out = importance.withColumn("power", power)
+    return out.withColumn(
+        "rank", F.rank().over(Window.orderBy(F.desc("power")))
+    ).orderBy("rank")

@@ -168,3 +168,29 @@ def violation_rows(
     pred = violation_predicate(r)
     out = df.filter(pred).withColumn("rule_id", F.lit(r.rule_id))
     return out.withColumn("row_sha256", row_sha256(df.schema, id_cols))
+
+
+def violations_table(
+    df: DataFrame, rules: list[dict | Rule], id_cols: list[str] | None = None
+) -> DataFrame:
+    """ALL rules' violation rows in ONE pass: rows failing any rule are
+    kept with an exploded ``rule_id`` plus the stable ``row_sha256``.
+
+    Plan shape: a single projection computes the array of violated rule
+    ids per row; the `size > 0` filter keeps clean rows out of the
+    explode, so the scan emits only offending rows.
+    """
+    rs = [as_rule(r) for r in rules]
+    tags = F.array_compact(
+        F.array(*[
+            F.when(violation_predicate(r), F.lit(r.rule_id)).otherwise(F.lit(None))
+            for r in rs
+        ])
+    )
+    hashed = df.withColumn("row_sha256", row_sha256(df.schema, id_cols))
+    return (
+        hashed.withColumn("__violated", tags)
+        .filter(F.size("__violated") > 0)
+        .withColumn("rule_id", F.explode("__violated"))
+        .drop("__violated")
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tanml_spark.checks.base import DEFAULT_REGISTRY, CheckRegistry, ValidationContext
-from tanml_spark.constraints import Rule, as_rule, check_constraints
+from tanml_spark.constraints import Rule, as_rule, check_constraints, violations_table
 from tanml_spark.functions.hashing import logical_partition
 from tanml_spark.result import CheckResult, Status
 
@@ -112,7 +112,11 @@ class ValidationRunner:
 
     # ---------- partitioned constraint run (partition-level resume) ----------
     def run_constraints(
-        self, df: DataFrame, rules: list[dict | Rule], resume: bool = True
+        self,
+        df: DataFrame,
+        rules: list[dict | Rule],
+        resume: bool = True,
+        write_violations: bool = False,
     ) -> DataFrame:
         """Per-(logical partition, rule) verdicts with resume.
 
@@ -143,6 +147,16 @@ class ValidationRunner:
         n_new = verdict_rows.count()
         if n_new:
             self._write_verdicts(verdict_rows)
+            if write_violations:
+                # sha256-stable violation rows for the pending
+                # partitions, idempotent overwrite per partition
+                v = violations_table(keyed, rules)
+                (
+                    v.repartition("partition_key")
+                    .write.mode("overwrite")
+                    .partitionBy("partition_key")
+                    .parquet(os.path.join(self.run_dir, "violations", "constraints"))
+                )
             state = (
                 verdict_rows.groupBy("partition_key")
                 .agg(F.count(F.lit(1)).alias("n"),

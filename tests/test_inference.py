@@ -1,0 +1,69 @@
+"""OLS inference vs closed-form numpy; ranking semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.inference import feature_significance, rank_features
+
+
+def test_ols_matches_normal_equations(spark):
+    rng = np.random.default_rng(42)
+    n = 1200
+    x1 = rng.standard_normal(n)
+    x2 = rng.standard_normal(n)
+    noise = rng.standard_normal(n)
+    y = 3.0 * x1 + 0.02 * x2 + 1.5 + noise  # x2 ~ insignificant
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    got = {r["feature"]: r for r in
+           feature_significance(df, ["x1", "x2"], "y").collect()}
+
+    # closed-form OLS
+    X = np.column_stack([x1, x2, np.ones(n)])
+    beta = np.linalg.solve(X.T @ X, X.T @ y)
+    resid = y - X @ beta
+    sigma2 = resid @ resid / (n - 3)
+    se = np.sqrt(np.diag(sigma2 * np.linalg.inv(X.T @ X)))
+
+    assert abs(got["x1"]["coef"] - beta[0]) < 1e-6
+    assert abs(got["x2"]["coef"] - beta[1]) < 1e-6
+    assert abs(got["__intercept__"]["coef"] - beta[2]) < 1e-6
+    assert abs(got["x1"]["std_err"] - se[0]) < 1e-6
+    assert got["x1"]["p_value"] < 1e-9          # strong feature
+    assert got["x2"]["p_value"] > 0.05          # noise feature
+    # sorted by p_value
+    ordered = feature_significance(df, ["x1", "x2"], "y").collect()
+    ps = [r["p_value"] for r in ordered]
+    assert ps == sorted(ps)
+
+
+def test_logit_significance(spark):
+    rng = np.random.default_rng(7)
+    n = 1500
+    x1 = rng.standard_normal(n)
+    x2 = rng.standard_normal(n)
+    p = 1 / (1 + np.exp(-(2.0 * x1 - 0.5)))
+    y = (rng.random(n) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y int",
+    )
+    got = {r["feature"]: r for r in
+           feature_significance(df, ["x1", "x2"], "y", task_type="classification").collect()}
+    assert got["x1"]["p_value"] < 1e-6
+    assert got["x2"]["p_value"] > 0.01
+    assert 1.5 < got["x1"]["coef"] < 2.5
+
+
+def test_rank_features(spark):
+    imp = spark.createDataFrame(
+        [("a", 10.0), ("b", 40.0), ("c", 20.0)], "feature string, importance double"
+    )
+    rows = rank_features(imp).collect()
+    assert [r["feature"] for r in rows] == ["b", "c", "a"]
+    assert rows[0]["power"] == 100.0
+    assert rows[1]["power"] == 50.0
+    assert rows[2]["power"] == 25.0

@@ -1,0 +1,51 @@
+"""Violation-row tables: single-pass vs per-rule union; byte-stability
+across parallelism (north-rule per-row sha256 invariant)."""
+
+from pyspark.sql import functions as F
+
+from tanml_spark.constraints import violation_rows, violations_table
+from tanml_spark.runner import ValidationRunner
+
+RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "not_empty", "column": "content", "name": "content_not_empty"},
+    {"type": "length", "column": "content", "min": 50, "max": 6000, "name": "content_len"},
+]
+
+
+def test_violations_table_equals_per_rule_union(code_files):
+    one_pass = violations_table(code_files, RULES)
+    got = sorted(
+        (r["rule_id"], r["row_sha256"]) for r in one_pass.select("rule_id", "row_sha256").collect()
+    )
+    exp = []
+    for r in RULES:
+        exp += [
+            (v["rule_id"], v["row_sha256"])
+            for v in violation_rows(code_files, r).select("rule_id", "row_sha256").collect()
+        ]
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
+def test_violation_hashes_invariant_to_parallelism(code_files):
+    a = violations_table(code_files.repartition(2), RULES)
+    b = violations_table(code_files.repartition(23), RULES)
+    ha = sorted(r["row_sha256"] + r["rule_id"] for r in a.collect())
+    hb = sorted(r["row_sha256"] + r["rule_id"] for r in b.collect())
+    assert ha == hb
+
+
+def test_runner_writes_violations(spark, code_files, tmp_path):
+    r = ValidationRunner(spark, str(tmp_path / "run"), n_buckets=8)
+    r.run_constraints(code_files, RULES, write_violations=True)
+    v = spark.read.parquet(str(tmp_path / "run" / "violations" / "constraints"))
+    rows1 = sorted(x["row_sha256"] for x in v.collect())
+    exp = violations_table(code_files, RULES).count()
+    assert len(rows1) == exp
+    assert {"rule_id", "row_sha256", "partition_key"} <= set(v.columns)
+    # idempotent: second full (non-resume) run leaves identical content
+    r2 = ValidationRunner(spark, str(tmp_path / "run"), n_buckets=8)
+    r2.run_constraints(code_files, RULES, resume=False, write_violations=True)
+    v2 = spark.read.parquet(str(tmp_path / "run" / "violations" / "constraints"))
+    assert sorted(x["row_sha256"] for x in v2.collect()) == rows1

@@ -31,9 +31,14 @@ def _stringify(col: Column, dtype: T.DataType) -> Column:
 
 
 def row_sha256(df_schema: T.StructType, cols: list[str] | None = None) -> Column:
-    """sha256 over the '|'-joined, null-marked, stringified row."""
+    """sha256 over the '|'-joined, null-marked, stringified row.
+
+    Without an explicit ``cols`` list the columns are hashed in SORTED
+    name order — joins/selects reorder schemas, and the row-content
+    invariant must not depend on plan-dependent column order. An
+    explicit ``cols`` list is honored as given (oracle parity)."""
     fields = {f.name: f.dataType for f in df_schema.fields}
-    use = cols or list(fields)
+    use = cols or sorted(fields)
     parts = [
         F.coalesce(_stringify(F.col(c), fields[c]), F.lit("\x00NULL")) for c in use
     ]

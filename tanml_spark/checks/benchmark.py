@@ -1,0 +1,93 @@
+"""Baseline-model benchmark comparison.
+
+Reference semantics (tanml/ui/views/evaluation/tabs/benchmark.py:
+128-249): train a set of baseline models on the train split, score
+the test split, and present a metric table per model so the primary
+model's numbers have context.
+
+Spark-first: baselines are pyspark.ml estimators (distributed fits);
+each scoring pass reuses the engine's fused metric aggregations
+(checks/metrics.py). The train/test frames are cached once across all
+baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.metrics import classification_metrics, regression_metrics
+
+
+def _baselines(task_type: str, label_col: str):
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        LogisticRegression,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    if task_type == "classification":
+        return {
+            "logistic_regression": LogisticRegression(
+                featuresCol="features", labelCol=label_col, maxIter=20),
+            "decision_tree": DecisionTreeClassifier(
+                featuresCol="features", labelCol=label_col, seed=42),
+            "random_forest": RandomForestClassifier(
+                featuresCol="features", labelCol=label_col, numTrees=20, seed=42),
+        }
+    return {
+        "linear_regression": LinearRegression(
+            featuresCol="features", labelCol=label_col, maxIter=20),
+        "decision_tree": DecisionTreeRegressor(
+            featuresCol="features", labelCol=label_col, seed=42),
+        "random_forest": RandomForestRegressor(
+            featuresCol="features", labelCol=label_col, numTrees=20, seed=42),
+    }
+
+
+def benchmark_models(
+    train: DataFrame,
+    test: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    task_type: str = "classification",
+) -> DataFrame:
+    """Metric table: one row per baseline model."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    va = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    tr = va.transform(train.select(*feature_cols, label_col).na.drop()).cache()
+    te = va.transform(test.select(*feature_cols, label_col).na.drop()).cache()
+    tr.count()
+
+    rows = []
+    for name, est in _baselines(task_type, label_col).items():
+        model = est.fit(tr)
+        scored = model.transform(te)
+        if task_type == "classification":
+            sel = scored.select(
+                F.col(label_col).alias("label"),
+                F.col("prediction").cast("int").alias("prediction"),
+                vector_to_array("probability").getItem(1).alias("score"),
+            )
+            m = classification_metrics(sel, score_col="score")
+            rows.append((name, m["accuracy"], m["precision"], m["recall"],
+                         m["f1"], m["roc_auc"]))
+        else:
+            sel = scored.select(F.col(label_col).alias("label"), "prediction")
+            m = regression_metrics(sel)
+            rows.append((name, m["rmse"], m["mae"], m["median_ae"], m["r2"]))
+    tr.unpersist(); te.unpersist()
+    spark = train.sparkSession
+    if task_type == "classification":
+        schema = ("model string, accuracy double, precision double, recall double, "
+                  "f1 double, roc_auc double")
+    else:
+        schema = "model string, rmse double, mae double, median_ae double, r2 double"
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,74 @@
+"""Permutation feature importance (explainability).
+
+The reference's explainability check is SHAP with hard sampling caps
+(tanml/checks/explainability/shap_check.py:138-177, 195-249). SHAP's
+library is out of scope here; the engine provides **permutation
+importance** — the standard model-agnostic alternative: break the
+feature↔label relationship by permuting one column and measure the
+metric drop. Like the reference, the computation runs on a capped,
+seeded sample (shap_check.py:244-249 precedent).
+
+Spark-first permutation: a distributed column permutation joins the
+column's values (re-indexed by a hash ordering) back onto rows indexed
+by their original order — two window ranks + one join, no driver data.
+Scoring is model.transform (JVM), metrics are fused aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.metrics import classification_metrics, regression_metrics
+
+
+def permute_column(df: DataFrame, column: str, seed: int = 42,
+                   id_col: str = "__pid") -> DataFrame:
+    """Deterministically permute one column's values across rows."""
+    base = df.withColumn(id_col, F.monotonically_increasing_id())
+    w_orig = Window.orderBy(id_col)
+    w_perm = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    rows = base.withColumn("__pos", F.row_number().over(w_orig)).drop(column)
+    vals = base.select(F.col(column), F.row_number().over(w_perm).alias("__pos"))
+    return rows.join(vals, "__pos").drop("__pos", id_col)
+
+
+def permutation_importance(
+    model,
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    task_type: str = "classification",
+    metric: str | None = None,
+    sample_rows: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """(feature, base_metric, permuted_metric, importance) — importance
+    = metric drop when the feature is permuted. Runs on a seeded
+    sample capped at ``sample_rows`` (reference sampling precedent)."""
+    n = df.count()
+    frac = min(1.0, sample_rows / n) if n else 1.0
+    sample = df.sample(fraction=frac, seed=seed).cache()
+    sample.count()
+
+    def score(frame: DataFrame) -> float:
+        out = model.transform(frame)
+        if task_type == "classification":
+            sel = out.select(F.col(label_col).alias("label"),
+                             F.col("prediction").cast("int").alias("prediction"))
+            return classification_metrics(sel)[metric or "accuracy"]
+        sel = out.select(F.col(label_col).alias("label"), "prediction")
+        return regression_metrics(sel)[metric or "rmse"]
+
+    base = score(sample)
+    sign = 1.0 if task_type == "classification" else -1.0  # rmse: drop = increase
+    rows = []
+    for c in feature_cols:
+        permuted = permute_column(sample, c, seed=seed)
+        m = score(permuted)
+        rows.append((c, round(base, 9), round(m, 9), round(sign * (base - m), 9)))
+    sample.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "feature string, base_metric double, permuted_metric double, importance double"
+    ).orderBy(F.desc("importance"))

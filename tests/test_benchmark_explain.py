@@ -1,0 +1,62 @@
+"""Benchmark battery + permutation importance on the credit fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.benchmark import benchmark_models
+from tanml_spark.checks.explainability import permutation_importance, permute_column
+from tanml_spark.sources.credit_demo import FEATURES, gen_credit_demo
+
+
+@pytest.fixture(scope="module")
+def credit(spark):
+    train, test = gen_credit_demo(spark)
+    return train.cache(), test.cache()
+
+
+def test_benchmark_models_classification(credit):
+    train, test = credit
+    tbl = benchmark_models(train, test, FEATURES, "target", "classification")
+    rows = {r["model"]: r for r in tbl.collect()}
+    assert set(rows) == {"logistic_regression", "decision_tree", "random_forest"}
+    for r in rows.values():
+        assert 0.4 < r["accuracy"] <= 1.0
+        assert 0.0 <= r["roc_auc"] <= 1.0
+    assert rows["logistic_regression"]["roc_auc"] > 0.6
+
+
+def test_permute_column_is_permutation(credit):
+    train, _ = credit
+    small = train.limit(500)
+    before = sorted(r["income"] for r in small.select("income").collect())
+    permuted = permute_column(small, "income")
+    after = sorted(r["income"] for r in permuted.select("income").collect())
+    assert before == after  # same multiset
+    # but not identical order
+    a = [r["income"] for r in small.orderBy("id").collect()]
+    b = [r["income"] for r in permuted.orderBy("id").collect()]
+    assert a != b
+    # deterministic
+    c = [r["income"] for r in permute_column(small, "income").orderBy("id").collect()]
+    assert b == c
+
+
+def test_permutation_importance_ranks_signal(spark, credit):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    train, test = credit
+    va = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol="target", maxIter=20)
+    model = Pipeline(stages=[va, lr]).fit(train)
+
+    imp = permutation_importance(
+        model, test, FEATURES, label_col="target", task_type="classification"
+    )
+    rows = {r["feature"]: r["importance"] for r in imp.collect()}
+    assert len(rows) == len(FEATURES)
+    # the dominant generative features should beat pure noise features
+    strong = max(rows["previous_defaults"], rows["credit_score"], rows["debt_to_income"])
+    weak = abs(rows["years_at_residence"])
+    assert strong >= weak

@@ -1,0 +1,89 @@
+"""Real kill-mid-run resume test (north-rule: an interrupted run
+resumes exactly where it stopped and ends byte-identical).
+
+Runs the runner in a subprocess over a slowed-down input, SIGKILLs it
+mid-flight, re-runs with resume, and compares the final verdict table
+to an uninterrupted run.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, os
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from tanml_spark.session import get_spark
+from tanml_spark.sources.code_files import gen_code_files
+from tanml_spark.runner import ValidationRunner
+
+run_dir = sys.argv[1]
+slow = len(sys.argv) > 2 and sys.argv[2] == "slow"
+spark = get_spark("killres", cores=4, shuffle_partitions=4)
+df = gen_code_files(spark, 60000, 200)
+if slow:
+    # slow the scan so the kill lands mid-run
+    import pyspark.sql.functions as FF
+    df = df.withColumn("_s", FF.expr("java_method('java.lang.Thread','sleep',0L)"))
+    df = df.drop("_s")
+rules = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "length", "column": "content", "min": 50, "name": "content_min"},
+]
+r = ValidationRunner(spark, run_dir, n_buckets=24)
+# process buckets in 8 chunks so state commits land incrementally
+from tanml_spark.functions.hashing import logical_partition
+pk = logical_partition(F.col("repo"), 24).cast("int")
+for lo in range(0, 24, 3):
+    chunk = df.filter((pk >= lo) & (pk < lo + 3))
+    r.run_constraints(chunk, rules, resume=True)
+    print("CHUNK_DONE", lo, flush=True)
+v = r.read_verdicts()
+rows = sorted(map(tuple, v.select("check","partition_key","status","metric","value").collect()))
+print("FINAL", json.dumps(rows)[:100000], flush=True)
+"""
+
+
+def _run(run_dir, kill_after=None):
+    script = WORKER % {"repo": REPO}
+    p = subprocess.Popen(
+        [sys.executable, "-c", script, run_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    if kill_after is None:
+        out, _ = p.communicate(timeout=600)
+        return out
+    # wait until at least one chunk committed, then kill hard
+    deadline = time.time() + 300
+    lines = []
+    while time.time() < deadline:
+        line = p.stdout.readline()
+        if not line:
+            break
+        lines.append(line)
+        if sum(1 for l in lines if l.startswith("CHUNK_DONE")) >= kill_after:
+            os.kill(p.pid, signal.SIGKILL)
+            p.wait(timeout=60)
+            return None
+    p.kill()
+    raise AssertionError("worker never reached kill point")
+
+
+def test_kill_and_resume_byte_identical(tmp_path):
+    clean_dir = str(tmp_path / "clean")
+    kill_dir = str(tmp_path / "killed")
+
+    out_clean = _run(clean_dir)
+    final_clean = [l for l in out_clean.splitlines() if l.startswith("FINAL")][0]
+
+    _run(kill_dir, kill_after=3)          # killed mid-run
+    out_resumed = _run(kill_dir)          # resume in a fresh process
+    final_resumed = [l for l in out_resumed.splitlines() if l.startswith("FINAL")][0]
+
+    assert json.loads(final_resumed[6:]) == json.loads(final_clean[6:])

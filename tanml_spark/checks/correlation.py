@@ -47,6 +47,37 @@ def correlation_matrix(
     return m
 
 
+def kendall_tau_b(a: np.ndarray, b: np.ndarray) -> float:
+    """Kendall tau-b (pairwise O(n²) numpy — for sampled data)."""
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(len(a), k=1)
+    pa, pb = da[iu], db[iu]
+    concordant = float(np.sum((pa * pb) > 0))
+    discordant = float(np.sum((pa * pb) < 0))
+    n0 = len(pa)
+    ties_a = float(np.sum(pa == 0))
+    ties_b = float(np.sum(pb == 0))
+    denom = np.sqrt((n0 - ties_a) * (n0 - ties_b))
+    return float((concordant - discordant) / denom) if denom else float("nan")
+
+
+def kendall_tau(
+    df: DataFrame, col_a: str, col_b: str, sample_rows: int = 2000, seed: int = 42
+) -> float:
+    """Kendall tau-b on a seeded sample (reference supports kendall via
+    pandas, analysis/correlation.py:23-42; no distributed O(n log n)
+    formulation is attempted — the reference itself treats it as a
+    small-data method and SURVEY.md §2.4 maps it to sampled local
+    compute)."""
+    n = df.count()
+    frac = min(1.0, sample_rows / n) if n else 1.0
+    pdf = df.select(col_a, col_b).na.drop().sample(fraction=frac, seed=seed).toPandas()
+    return kendall_tau_b(pdf[col_a].to_numpy(), pdf[col_b].to_numpy())
+
+
 def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
     """Replace columns by average ranks (Spearman prep). Needs one
     window sort per column — acceptable for the small feature sets

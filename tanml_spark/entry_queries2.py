@@ -295,6 +295,34 @@ SELECT u.* FROM (
 """
 
 
+# ------------------------------------------------ q: cube rollup verdicts
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag × linestatus) verdict roll-up with subtotals —
+    the cube shape used for per-(repo,lang) × global verdict tables
+    (SURVEY.md §2.4 grouping-sets row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows", "sum_qty",
+        )
+    )
+
+
+SQL_CUBE_PROFILE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # ----------------------------------------------- q: events (ts + JSON)
 def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped profile over the events stream table: counts, exact
@@ -402,6 +430,7 @@ def all_queries2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
         "corr_pairs": q_corr_pairs,
+        "cube_profile": q_cube_profile,
         "events_profile": q_events_profile,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -420,6 +449,7 @@ def all_oracles2() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "quality_stats": SQL_QUALITY_STATS,
         "corr_pairs": SQL_CORR_PAIRS,
+        "cube_profile": SQL_CUBE_PROFILE,
         "events_profile": SQL_EVENTS_PROFILE,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_json": SQL_EVENTS_JSON,

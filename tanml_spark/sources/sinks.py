@@ -1,0 +1,47 @@
+"""Multi-format export sinks + the CSV→Parquet conversion.
+
+Reference semantics: save_df multi-format export
+(tanml/ui/views/preprocessing.py:369-410) and the one-time CSV→Parquet
+conversion "for efficiency" (ui/services/data.py:25-30). Formats
+without a distributed writer (Excel/SAS/SPSS/Stata/pickle) are
+intentionally unsupported at engine scale — the reference's own
+fallback was CSV, which we keep.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUPPORTED = {"parquet", "csv", "json", "orc", "tsv"}
+
+
+def save_df(df: DataFrame, path: str, fmt: str | None = None,
+            mode: str = "overwrite", **options) -> str:
+    """Write df in the requested format; returns the path."""
+    fmt = (fmt or os.path.splitext(path)[1].lstrip(".") or "parquet").lower()
+    if fmt not in SUPPORTED:
+        # reference behavior: unknown export formats fall back to CSV
+        fmt = "csv"
+    w = df.write.mode(mode)
+    if fmt == "parquet":
+        w.parquet(path, **options)
+    elif fmt == "orc":
+        w.orc(path, **options)
+    elif fmt == "json":
+        w.json(path, **options)
+    else:
+        sep = "\t" if fmt == "tsv" else options.pop("sep", ",")
+        w.options(header="true", sep=sep, **options).csv(path)
+    return path
+
+
+def convert_to_parquet(spark: SparkSession, src: str, dest: str,
+                       fmt: str = "csv", **read_options) -> str:
+    """One-time columnar conversion (ui/services/data.py:25-30)."""
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update(read_options)
+    df = spark.read.options(**opts).format(fmt).load(src)
+    df.write.mode("overwrite").parquet(dest)
+    return dest

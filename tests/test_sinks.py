@@ -1,0 +1,59 @@
+"""Export sinks + CSV->Parquet conversion + kendall correlation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tanml_spark.checks.correlation import kendall_tau
+from tanml_spark.sources.sinks import convert_to_parquet, save_df
+
+
+def test_save_df_roundtrips(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "cast(id * 1.5 as double) as v")
+    for fmt in ["parquet", "csv", "json", "orc"]:
+        p = str(tmp_path / fmt)
+        save_df(df, p, fmt)
+        back = (
+            spark.read.options(header="true", inferSchema="true").csv(p)
+            if fmt == "csv" else getattr(spark.read, fmt)(p)
+        )
+        assert back.count() == 100
+    # unknown format falls back to CSV (reference behavior)
+    p = str(tmp_path / "weird")
+    save_df(df, p, "xlsx")
+    assert spark.read.options(header="true").csv(p).count() == 100
+
+
+def test_convert_to_parquet(spark, tmp_path):
+    df = spark.range(50).selectExpr("id", "concat('r', id) as name")
+    src = str(tmp_path / "src_csv")
+    save_df(df, src, "csv")
+    dest = convert_to_parquet(spark, src, str(tmp_path / "dest_pq"))
+    back = spark.read.parquet(dest)
+    assert back.count() == 50
+    assert set(back.columns) == {"id", "name"}
+
+
+def test_kendall_matches_naive_oracle(spark):
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal(300)
+    b = a * 0.7 + rng.standard_normal(300) * 0.5
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    )
+    got = kendall_tau(df, "a", "b", sample_rows=10**9)  # no sampling
+
+    # naive O(n^2) python oracle
+    c = d = 0
+    n = len(a)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = np.sign(a[i] - a[j]) * np.sign(b[i] - b[j])
+            c += s > 0
+            d += s < 0
+    exp = (c - d) / (n * (n - 1) / 2)  # no ties in continuous data
+    assert abs(got - exp) < 1e-9
+    # perfect monotone -> 1.0
+    mono = spark.createDataFrame([(float(i), float(i * 2)) for i in range(50)],
+                                 "a double, b double")
+    assert abs(kendall_tau(mono, "a", "b") - 1.0) < 1e-12

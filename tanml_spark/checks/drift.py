@@ -62,11 +62,18 @@ def condense(expected: DataFrame, actual: DataFrame, columns: list[str]) -> Data
     )
 
 
-def psi_from_condensed(cond: DataFrame, bins: int = 10) -> DataFrame:
-    """(column, psi) from the condensed counts. NaN when actual empty."""
+def psi_from_condensed(
+    cond: DataFrame, bins: int = 10, keys: tuple[str, ...] = ("column",)
+) -> DataFrame:
+    """(*keys, psi) from the condensed counts. NaN when actual empty.
+
+    ``keys`` may include a grouping column (e.g. ("group", "column"))
+    for partition-parallel drift — every group's PSI computes
+    independently in the same two shuffles."""
+    keys = list(keys)
     edges = (
         cond.filter(F.col("ce") > 0)
-        .groupBy("column")
+        .groupBy(*keys)
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
              F.sum("ce").alias("n_e"))
     )
@@ -76,9 +83,9 @@ def psi_from_condensed(cond: DataFrame, bins: int = 10) -> DataFrame:
     ).withColumn(
         "hi2", F.when(F.col("lo") == F.col("hi"), F.col("hi") + 0.5).otherwise(F.col("hi"))
     )
-    n_actual = cond.groupBy("column").agg(F.sum("ca").alias("n_a"))
+    n_actual = cond.groupBy(*keys).agg(F.sum("ca").alias("n_a"))
 
-    j = cond.join(F.broadcast(edges), "column").join(F.broadcast(n_actual), "column")
+    j = cond.join(F.broadcast(edges), keys).join(F.broadcast(n_actual), keys)
     width = (F.col("hi2") - F.col("lo2")) / bins
     in_range = (F.col("value") >= F.col("lo2")) & (F.col("value") <= F.col("hi2"))
     bucket = F.least(
@@ -86,7 +93,7 @@ def psi_from_condensed(cond: DataFrame, bins: int = 10) -> DataFrame:
     )
     j = j.filter(in_range).withColumn("bucket", bucket)
 
-    counts = j.groupBy("column", "bucket").agg(
+    counts = j.groupBy(*keys, "bucket").agg(
         F.sum("ce").alias("cnt_e"),
         F.sum("ca").alias("cnt_a"),
         F.first("n_e").alias("n_e"),
@@ -97,14 +104,44 @@ def psi_from_condensed(cond: DataFrame, bins: int = 10) -> DataFrame:
     e_pct = F.greatest(F.try_divide(F.col("cnt_e"), F.col("n_e")), F.lit(EPS))
     a_pct = F.greatest(F.try_divide(F.col("cnt_a"), F.col("n_a")), F.lit(EPS))
     term = (a_pct - e_pct) * F.log(a_pct / e_pct)
-    psi = counts.groupBy("column").agg(F.sum(term).alias("psi_raw"),
-                                       F.first("n_a").alias("n_a"))
+    psi = counts.groupBy(*keys).agg(F.sum(term).alias("psi_raw"),
+                                    F.first("n_a").alias("n_a"))
     return psi.select(
-        "column",
+        *keys,
         F.when((F.col("n_a") == 0) | F.col("psi_raw").isNull(), F.lit(float("nan")))
         .otherwise(F.col("psi_raw"))
         .alias("psi"),
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    split_col: str = "split",
+    expected_split: str = "train",
+    bins: int = 10,
+) -> DataFrame:
+    """Partition-parallel drift: PSI of ``value_col`` between splits,
+    computed independently PER GROUP (e.g. per lang or repo bucket) in
+    one condensed pass + two broadcast-joined tiny aggs:
+    (group, psi, drift_level)."""
+    side = F.when(F.col(split_col) == expected_split, "e").otherwise("a")
+    cond = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(value_col).cast("double").alias("value"),
+            side.alias("side"),
+        )
+        .filter(F.col("value").isNotNull())
+        .groupBy("group", "value")
+        .agg(
+            F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+        )
+    )
+    psi = psi_from_condensed(cond, bins, keys=("group",))
+    return psi.withColumn("drift_level", drift_level_col(F.col("psi")))
 
 
 def ks_from_condensed(cond: DataFrame) -> DataFrame:

@@ -134,3 +134,23 @@ def test_drift_summary_status(spark, code_files):
     # fixture injects a strong length shift -> severe -> fail
     assert summ["overall_status"] == "fail"
     assert summ["severe_drift_count"] >= 1
+
+
+def test_psi_by_group_matches_per_group_reference(spark, code_files):
+    """Partition-parallel PSI == reference formula applied per group."""
+    from tanml_spark.checks.drift import psi_by_group
+
+    df = code_files.withColumn("content_len", F.length("content"))
+    got = {r["group"]: r["psi"]
+           for r in psi_by_group(df, "content_len", "lang").collect()}
+    pdf = df.select("lang", "content_len", "split").toPandas()
+    for lang, sub in pdf.groupby("lang"):
+        e = sub[sub.split == "train"]["content_len"].to_numpy(dtype=float)
+        a = sub[sub.split == "test"]["content_len"].to_numpy(dtype=float)
+        exp = ref_psi(e, a)
+        if math.isnan(exp):
+            assert math.isnan(got[lang])
+        else:
+            assert abs(got[lang] - exp) < 1e-9, lang
+    # injected lang-mix drift + length drift -> at least one severe group
+    assert any(v > 0.2 for v in got.values() if v == v)

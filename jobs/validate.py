@@ -52,10 +52,10 @@ def main() -> None:
     from tanml_spark.checks.base import ValidationContext
     from tanml_spark.runner import ValidationRunner, suite_verdict
 
-    try:
-        df = spark.read.parquet(args.input)
-    except Exception:
-        df = spark.read.table(args.input)
+    if "/" in args.input or args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)  # path: fail with the real error
+    else:
+        df = spark.read.table(args.input)    # catalog/Iceberg table name
     parent = spark.read.parquet(args.parent) if args.parent else None
 
     if args.rules:

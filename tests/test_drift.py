@@ -154,3 +154,16 @@ def test_psi_by_group_matches_per_group_reference(spark, code_files):
             assert abs(got[lang] - exp) < 1e-9, lang
     # injected lang-mix drift + length drift -> at least one severe group
     assert any(v > 0.2 for v in got.values() if v == v)
+
+
+def test_ks_bins_approximates_exact(spark):
+    from tanml_spark.checks.drift import ks_bins
+
+    rng = np.random.default_rng(13)
+    e = rng.normal(0, 1, 4000)
+    a = rng.normal(0.4, 1.1, 3500)
+    exact = ref_ks(e, a)
+    got = ks_bins(_df(spark, e), _df(spark, a), ["x"], bins=1024).collect()[0]
+    # lower bound within a small tolerance of the exact statistic
+    assert got["ks_stat"] <= exact + 1e-12
+    assert exact - got["ks_stat"] < 0.01

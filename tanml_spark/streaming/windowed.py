@@ -1,0 +1,59 @@
+"""Windowed streaming aggregation with watermark (late-data handling).
+
+Nothing in the reference is stream-shaped (SURVEY.md §2.10); this is
+the engine's idiomatic Structured Streaming form of the profiling
+aggregations for an event-time table like `events`: tumbling windows +
+watermark so state is bounded and late rows beyond the watermark are
+dropped deterministically. Used with Trigger.AvailableNow the same
+query doubles as an incremental batch rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    schema=None,
+    query_name: str = "windowed_event_counts",
+):
+    """Stream parquet -> watermarked tumbling-window counts -> memory
+    sink (AvailableNow). Returns the in-memory result DataFrame."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+    # watermarks require TimestampType; parquet NTZ timestamps are cast
+    # (session TZ is UTC, so the cast is a relabel, not a shift)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col, "n_events", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

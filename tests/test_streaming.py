@@ -45,3 +45,27 @@ def test_validate_stream_available_now(spark, tmp_path):
     validate_stream(src, ckpt, RULES, on_batch=on_batch,
                     schema=df.schema, spark=spark)
     assert "rows" not in seen or seen["rows"] == 0
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """Streaming windowed agg == the equivalent batch groupBy."""
+    from tanml_spark.streaming.windowed import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+    got = windowed_event_counts(
+        spark, src, str(tmp_path / "wckpt"), schema=ev.schema,
+        query_name="wec_test",
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(g) > 0

@@ -1,0 +1,106 @@
+"""Resumable profiling sketches (SURVEY.md §7 hard part d).
+
+The fused profile's HLL sketches are mergeable binaries — so a
+profiling run over 10^12 files can checkpoint per-partition sketch
+bytes and a resumed run merges saved sketches with freshly computed
+ones instead of rescanning completed partitions:
+
+- ``partition_sketches``: one grouped pass → per-(logical partition)
+  rows of (partition_key, n_rows, nulls__c..., hll__c... binary).
+- ``SketchStore``: parquet-backed store with resume anti-join; global
+  stats come from ``hll_union_agg`` over ALL saved partition rows —
+  exactly the second-stage merge the fused suite does in memory, but
+  restartable.
+
+Quantile sketches: Spark exposes no percentile_approx partial-state
+merge at the SQL level, so quantile resume uses the engine's condensed
+value-count tables (checks/drift.condense) which are themselves exact,
+mergeable sufficient statistics (sum counts per value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.functions.hashing import logical_partition
+
+
+def partition_sketches(
+    df: DataFrame,
+    columns: list[str],
+    partition_key_col: str = "repo",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-partition mergeable profile state (one fused grouped pass)."""
+    keyed = df.withColumn(
+        "partition_key", logical_partition(F.col(partition_key_col), n_buckets).cast("string")
+    )
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"))
+        exprs.append(
+            F.hll_sketch_agg(
+                F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c).cast("string")))
+            ).alias(f"hll__{c}")
+        )
+    return keyed.groupBy("partition_key").agg(*exprs)
+
+
+class SketchStore:
+    """Parquet-backed per-partition sketch checkpoint with resume."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs
+        )
+
+    def completed(self) -> DataFrame | None:
+        return self.spark.read.parquet(self.path) if self._exists() else None
+
+    def update(
+        self,
+        df: DataFrame,
+        columns: list[str],
+        partition_key_col: str = "repo",
+        n_buckets: int = 64,
+    ) -> int:
+        """Compute sketches ONLY for partitions not yet stored; append.
+        Returns number of newly computed partitions."""
+        done = self.completed()
+        keyed = df
+        if done is not None:
+            pending_keys = done.select("partition_key")
+            keyed = df.withColumn(
+                "__pk",
+                logical_partition(F.col(partition_key_col), n_buckets).cast("string"),
+            ).join(
+                F.broadcast(pending_keys.withColumnRenamed("partition_key", "__pk")),
+                "__pk",
+                "left_anti",
+            ).drop("__pk")
+        sk = partition_sketches(keyed, columns, partition_key_col, n_buckets)
+        rows = sk.count()
+        if rows:
+            sk.write.mode("append").parquet(self.path)
+        return rows
+
+    def global_profile(self, columns: list[str]) -> dict:
+        """Merge ALL saved partition sketches → global stats
+        (restartable second-stage merge)."""
+        saved = self.completed()
+        if saved is None:
+            return {}
+        exprs = [F.sum("n_rows").alias("n_rows")]
+        for c in columns:
+            exprs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
+            exprs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(f"hll__{c}")).alias(f"distinct__{c}")
+            )
+        return saved.agg(*exprs).collect()[0].asDict()

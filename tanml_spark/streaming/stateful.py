@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator: running per-partition
+validation totals via ``applyInPandasWithState``.
+
+Pattern: violation predicates stay VECTORIZED SPARK EXPRESSIONS
+(compiled by constraints.py) applied before the stateful stage — the
+Arrow-batched state function only accumulates per-group counters, so
+no rule logic ever runs row-at-a-time in Python. State (running
+totals per logical partition) lives in the streaming state store and
+survives restarts through the checkpoint — the streaming twin of the
+runner's batch checkpoint table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from tanml_spark.constraints import Rule, as_rule, violation_predicate
+from tanml_spark.functions.hashing import logical_partition
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("partition_key", T.StringType()),
+    T.StructField("batch_rows", T.LongType()),
+    T.StructField("batch_violations", T.LongType()),
+    T.StructField("total_rows", T.LongType()),
+    T.StructField("total_violations", T.LongType()),
+])
+STATE_SCHEMA = T.StructType([
+    T.StructField("total_rows", T.LongType()),
+    T.StructField("total_violations", T.LongType()),
+])
+
+
+def _accumulate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    rows = viol = 0
+    for pdf in pdfs:
+        rows += len(pdf)
+        viol += int(pdf["is_violation"].sum())
+    t_rows, t_viol = state.get if state.exists else (0, 0)
+    t_rows += rows
+    t_viol += viol
+    state.update((t_rows, t_viol))
+    yield pd.DataFrame({
+        "partition_key": [key[0]],
+        "batch_rows": [rows],
+        "batch_violations": [viol],
+        "total_rows": [t_rows],
+        "total_violations": [t_viol],
+    })
+
+
+def running_validation_totals(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    rules: list[dict | Rule],
+    partition_key_col: str = "repo",
+    n_buckets: int = 16,
+    schema=None,
+    query_name: str = "running_validation_totals",
+) -> DataFrame:
+    """Drain available files (AvailableNow), maintaining cumulative
+    per-partition violation totals across invocations (state survives
+    via the checkpoint). Returns this invocation's output rows."""
+    rules = [as_rule(r) for r in rules]
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+
+    any_violation = None
+    for r in rules:
+        p = violation_predicate(r)
+        any_violation = p if any_violation is None else (any_violation | p)
+    flagged = stream.select(
+        logical_partition(F.col(partition_key_col), n_buckets).cast("string")
+        .alias("partition_key"),
+        F.coalesce(any_violation, F.lit(False)).alias("is_violation"),
+    )
+    out = flagged.groupBy("partition_key").applyInPandasWithState(
+        _accumulate, OUTPUT_SCHEMA, STATE_SCHEMA, "Update",
+        GroupStateTimeout.NoTimeout,
+    )
+    # foreachBatch sink: unlike the memory sink it supports checkpoint
+    # RECOVERY, which is the whole point (state survives restarts).
+    collected: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        collected.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(collected, OUTPUT_SCHEMA)

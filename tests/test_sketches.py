@@ -1,0 +1,36 @@
+"""Resumable sketch store: interrupted profiling merges to the same
+global stats as a single-shot run."""
+
+from pyspark.sql import functions as F
+
+from tanml_spark.functions.hashing import logical_partition
+from tanml_spark.operators.sketches import SketchStore
+
+COLS = ["lang", "content"]
+
+
+def test_sketch_resume_equals_single_shot(spark, code_files, tmp_path):
+    # single-shot
+    s1 = SketchStore(spark, str(tmp_path / "one"))
+    n1 = s1.update(code_files, COLS, n_buckets=16)
+    assert n1 == 16
+    full = s1.global_profile(COLS)
+
+    # interrupted: first invocation only sees half the partitions
+    pk = logical_partition(F.col("repo"), 16)
+    s2 = SketchStore(spark, str(tmp_path / "two"))
+    n_first = s2.update(code_files.filter(pk < 8), COLS, n_buckets=16)
+    assert 0 < n_first < 16
+    # resume over the FULL table: only pending partitions computed
+    n_second = s2.update(code_files, COLS, n_buckets=16)
+    assert n_first + n_second == 16
+    resumed = s2.global_profile(COLS)
+
+    assert resumed == full
+    # third update is a no-op
+    assert s2.update(code_files, COLS, n_buckets=16) == 0
+
+    # sanity: merged HLL estimate near exact
+    exact = code_files.select("lang").distinct().count()
+    assert abs(full["distinct__lang"] - exact) <= 1
+    assert full["n_rows"] == code_files.count()

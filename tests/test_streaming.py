@@ -69,3 +69,53 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert g == b and len(g) > 0
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState totals accumulate across two AvailableNow
+    invocations sharing a checkpoint (state survives restart)."""
+    import shutil
+
+    from tanml_spark.streaming.stateful import running_validation_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = gen_code_files(spark, 1000, 50)
+    df2 = gen_code_files(spark, 800, 50).withColumn(
+        "id", F.col("id") + 1000)
+    df1.write.parquet(src)
+
+    rules = [{"type": "not_null", "column": "lang", "name": "lang_nn"}]
+    out1 = running_validation_totals(
+        spark, src, ckpt, rules, n_buckets=8, schema=df1.schema,
+        query_name="rvt1")
+    r1 = out1.groupBy().agg(
+        F.sum("batch_rows"), F.sum("total_rows"), F.sum("total_violations")
+    ).collect()[0]
+    assert r1[0] == 1000 and r1[1] == 1000
+    exp_v1 = df1.filter(F.col("lang").isNull()).count()
+    assert r1[2] == exp_v1
+
+    # second chunk arrives; same checkpoint -> totals accumulate
+    df2.write.mode("append").parquet(src)
+    out2 = running_validation_totals(
+        spark, src, ckpt, rules, n_buckets=8, schema=df1.schema,
+        query_name="rvt2")
+    r2 = out2.groupBy().agg(F.sum("batch_rows"), F.sum("total_rows")).collect()[0]
+    assert r2[0] == 800          # only the new file processed
+    assert r2[1] >= 800          # running totals include prior state
+    # per-partition totals == batch-computed totals over both chunks
+    both = df1.unionByName(df2)
+    from tanml_spark.functions.hashing import logical_partition
+    exp = {
+        str(r["pk"]): (r["n"], r["v"])
+        for r in both.groupBy(
+            logical_partition(F.col("repo"), 8).cast("string").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("lang").isNull().cast("long")).alias("v")).collect()
+    }
+    # combine latest totals per partition from both outputs
+    latest = {}
+    for r in out1.collect() + out2.collect():
+        latest[r["partition_key"]] = (r["total_rows"], r["total_violations"])
+    assert latest == exp

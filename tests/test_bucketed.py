@@ -1,0 +1,30 @@
+"""Bucketed store removes the uniqueness-check shuffle entirely."""
+
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.duplicates import duplicate_stats
+from tanml_spark.sources.bucketed import read_bucketed, write_bucketed
+
+KEYS = ["repo", "path", "commit"]
+
+
+def test_bucketed_uniqueness_is_shuffle_free(spark, code_files, tmp_path):
+    write_bucketed(code_files, "cf_bucketed_test", str(tmp_path / "bt"), KEYS, 8)
+    try:
+        bt = read_bucketed(spark, "cf_bucketed_test")
+        g = bt.groupBy(*KEYS).agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0  # scan satisfies distribution
+
+        plain = spark.read.parquet(str(tmp_path / "bt"))
+        g2 = plain.groupBy(*KEYS).agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
+        assert g2._jdf.queryExecution().executedPlan().toString().count("Exchange") == 1
+
+        # identical results either way
+        a = duplicate_stats(bt, KEYS).collect()[0]
+        b = duplicate_stats(plain, KEYS).collect()[0]
+        assert (a["n_keys_duplicated"], a["n_rows_duplicated"]) == (
+            b["n_keys_duplicated"], b["n_rows_duplicated"])
+        assert a["n_rows_duplicated"] > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cf_bucketed_test")

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import SparkSession
@@ -97,11 +98,23 @@ def main() -> None:
             runner.run_suite(split_ctx, checks=["leakage", "drift"], resume=args.resume)
         )
 
+    from tanml_spark.report import build_report, render_markdown
+
+    # overall verdict comes from the REPORT (covers per-partition
+    # constraint verdicts too, not just the suite checks run above)
+    summary = build_report(spark, args.run_dir)
+    report_path = os.path.join(args.run_dir, "report.md")
+    with open(report_path, "w") as f:
+        f.write(render_markdown(summary))
+    with open(os.path.join(args.run_dir, "report.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=str)
     print(json.dumps({
         "verdict_rows": n,
         "suite": {k: v.status.value for k, v in results.items()},
-        "overall": suite_verdict(results).value if results else "resumed",
+        "overall": summary["overall_status"] if (results or n) else "resumed",
+        "resumed": not results,
         "run_dir": args.run_dir,
+        "report": report_path,
     }))
 
 

@@ -1,0 +1,107 @@
+"""Validation run report.
+
+Engine analog of the reference's report generation (docx assembly from
+the results dict, tanml/ui/views/evaluation/main.py:325-381,
+ui/reports/generators.py): renders a run directory's verdict table,
+checkpoint state, and metrics manifest into one markdown document plus
+a machine-readable JSON summary. No plots — violation/verdict tables
+ARE the artifact at engine scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.runner import ValidationRunner
+
+_ORDER = {"pass": 0, "warning": 1, "fail": 2}
+
+
+def build_report(spark: SparkSession, run_dir: str) -> dict:
+    """Collect a run's outputs into a summary dict."""
+    runner = ValidationRunner(spark, run_dir)
+    summary: dict = {"run_dir": run_dir, "generated_at": time.time(), "checks": {}}
+
+    try:
+        verdicts = runner.read_verdicts()
+    except Exception:
+        verdicts = None
+    if verdicts is not None:
+        per_check = (
+            verdicts.groupBy("check")
+            .agg(
+                F.count(F.lit(1)).alias("n_verdicts"),
+                F.sum((F.col("status") == "fail").cast("long")).alias("n_fail"),
+                F.sum((F.col("status") == "warning").cast("long")).alias("n_warning"),
+                F.sum((F.col("status") == "pass").cast("long")).alias("n_pass"),
+            )
+            .collect()
+        )
+        for r in per_check:
+            status = "fail" if r["n_fail"] else "warning" if r["n_warning"] else "pass"
+            summary["checks"][r["check"]] = {
+                "status": status,
+                "n_verdicts": r["n_verdicts"],
+                "n_fail": r["n_fail"],
+                "n_warning": r["n_warning"],
+                "n_pass": r["n_pass"],
+            }
+
+    manifest = os.path.join(run_dir, "metrics.jsonl")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            for line in f:
+                rec = json.loads(line)
+                entry = summary["checks"].setdefault(
+                    rec["check"], {"status": rec["status"]}
+                )
+                entry["metrics"] = rec.get("metrics", {})
+                entry["summary"] = rec.get("summary", "")
+                entry["status"] = rec["status"]
+
+    statuses = [c["status"] for c in summary["checks"].values()]
+    summary["overall_status"] = (
+        max(statuses, key=lambda s: _ORDER[s]) if statuses else "pass"
+    )
+    vio_dir = os.path.join(run_dir, "violations")
+    if os.path.isdir(vio_dir):
+        summary["violation_tables"] = sorted(os.listdir(vio_dir))
+    return summary
+
+
+def render_markdown(summary: dict) -> str:
+    lines = [
+        "# Validation report",
+        "",
+        f"run_dir: `{summary['run_dir']}`",
+        f"**Overall: {summary['overall_status'].upper()}**",
+        "",
+        "| check | status | verdicts (pass/warn/fail) | summary |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(summary["checks"]):
+        c = summary["checks"][name]
+        counts = (
+            f"{c.get('n_pass', '-')}/{c.get('n_warning', '-')}/{c.get('n_fail', '-')}"
+            if "n_verdicts" in c else "-"
+        )
+        lines.append(f"| {name} | {c['status']} | {counts} | {c.get('summary', '')} |")
+    if summary.get("violation_tables"):
+        lines += ["", "Violation tables: " + ", ".join(summary["violation_tables"])]
+    return "\n".join(lines) + "\n"
+
+
+def write_report(spark: SparkSession, run_dir: str) -> str:
+    """Write report.md + report.json into the run dir; returns md path."""
+    summary = build_report(spark, run_dir)
+    with open(os.path.join(run_dir, "report.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    md_path = os.path.join(run_dir, "report.md")
+    with open(md_path, "w") as f:
+        f.write(render_markdown(summary))
+    return md_path

@@ -1,0 +1,40 @@
+"""Report generation from a real run directory."""
+
+import json
+import os
+
+from tanml_spark.checks.base import ValidationContext
+from tanml_spark.report import build_report, write_report
+from tanml_spark.runner import ValidationRunner
+
+RULES = [
+    {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    {"type": "length", "column": "content", "min": 50, "name": "content_min"},
+]
+
+
+def test_report_from_run_dir(spark, code_files, repos_dim, tmp_path):
+    run_dir = str(tmp_path / "run")
+    r = ValidationRunner(spark, run_dir, n_buckets=8)
+    r.run_constraints(code_files, RULES, write_violations=True)
+    ctx = ValidationContext(
+        df=code_files, dims={"repos": repos_dim},
+        config={"unique_keys": ["repo", "path", "commit"]},
+    )
+    r.run_suite(ctx, checks=["uniqueness", "referential_integrity"])
+
+    md_path = write_report(spark, run_dir)
+    assert os.path.exists(md_path)
+    md = open(md_path).read()
+    assert "# Validation report" in md and "constraints" in md
+
+    summary = json.load(open(os.path.join(run_dir, "report.json")))
+    assert summary["overall_status"] in {"pass", "warning", "fail"}
+    assert "constraints" in summary["checks"]
+    assert summary["checks"]["constraints"]["n_verdicts"] == 16  # 8 parts x 2 rules
+    assert "uniqueness" in summary["checks"]
+    assert summary["checks"]["uniqueness"]["metrics"]["n_rows_duplicated"] > 0
+    assert "constraints" in summary["violation_tables"]
+    # idempotent rebuild
+    again = build_report(spark, run_dir)
+    assert again["checks"].keys() == summary["checks"].keys()

@@ -1,9 +1,15 @@
 from tanml_spark.checks.base import Check, CheckRegistry, register_check  # noqa: F401
 from tanml_spark.checks import (  # noqa: F401
+    benchmark,
+    clustering,
     correlation,
     drift,
     duplicates,
+    explainability,
+    inference,
     integrity,
+    metrics,
     outliers,
     profiling,
+    stress,
 )

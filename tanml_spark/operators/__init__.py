@@ -1,1 +1,11 @@
 from tanml_spark.operators.profile import profile, profile_narrow  # noqa: F401
+from tanml_spark.operators import (  # noqa: F401
+    dedup,
+    encode,
+    impute,
+    multimodal,
+    schema_align,
+    similarity,
+    sketches,
+    text,
+)

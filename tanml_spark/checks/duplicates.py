@@ -53,6 +53,38 @@ def duplicate_stats(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def duplicate_stats_salted(
+    df: DataFrame, keys: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Skew-defused two-phase variant (north-rule salted hash-join):
+
+    Phase 1 groups by (key_hash, salt) — a hot key's rows spread over
+    ``n_salts`` reducers instead of melting one; the salt is a
+    deterministic hash of the remaining columns (functions/hashing.py,
+    no F.rand, so resume/retry see identical assignments). Phase 2
+    merges the salt sub-counts per key. Results are identical to
+    ``duplicate_stats``; use this when a key's group is too large for
+    one reducer even after AQE skew splitting.
+    """
+    other = [c for c in df.columns if c not in keys] or keys
+    kh = F.xxhash64(*[F.col(k) for k in keys]).alias("kh")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in other], F.lit(1)), F.lit(n_salts)).alias(
+        "salt"
+    )
+    phase1 = (
+        df.select(kh, salt)
+        .groupBy("kh", "salt")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    phase2 = phase1.groupBy("kh").agg(F.sum("c1").alias("dup_count")).filter(
+        F.col("dup_count") > 1
+    )
+    return phase2.agg(
+        F.count(F.lit(1)).alias("n_keys_duplicated"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).cast("long").alias("n_rows_duplicated"),
+    )
+
+
 @register_check("uniqueness", order=20)
 def uniqueness_check(ctx: ValidationContext) -> CheckResult:
     keys = ctx.config.get("unique_keys", ["repo", "path", "commit"])

@@ -60,3 +60,25 @@ def test_iqr_matches_numpy(spark):
     got = iqr_outlier_stats(df, ["x"], exact=True).collect()[0]
     assert got["n_outliers"] == exp_out
     assert got["n_outliers"] >= 3
+
+
+def test_salted_duplicate_stats_equals_plain(spark, code_files):
+    """Two-phase salted agg == direct groupBy on the skewed fixture
+    (top repo owns >10% of rows), and the salt genuinely spreads the
+    hot key across sub-groups."""
+    from tanml_spark.checks.duplicates import duplicate_stats_salted
+
+    plain = duplicate_stats(code_files, KEYS).collect()[0]
+    salted = duplicate_stats_salted(code_files, KEYS, n_salts=16).collect()[0]
+    assert (salted["n_keys_duplicated"], salted["n_rows_duplicated"]) == (
+        plain["n_keys_duplicated"], plain["n_rows_duplicated"])
+
+    # hot single-key skew: one key repeated heavily + unique tail
+    hot = spark.range(20000).selectExpr(
+        "'org0/repo0' as repo",
+        "case when id % 2 = 0 then 'hot/path.py' else concat('p', id) end as path",
+        "'c' as commit", "cast(id as string) as other")
+    p = duplicate_stats(hot, ["repo", "path", "commit"]).collect()[0]
+    s = duplicate_stats_salted(hot, ["repo", "path", "commit"]).collect()[0]
+    assert (p["n_keys_duplicated"], p["n_rows_duplicated"]) == (1, 10000)
+    assert (s["n_keys_duplicated"], s["n_rows_duplicated"]) == (1, 10000)

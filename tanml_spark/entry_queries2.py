@@ -393,15 +393,26 @@ FROM t
 # --------------------------- rows-only queries (hash-based, no oracle)
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection with injected known positives
-    (80%-truncated copies). Verified by exact jaccard on candidates."""
+    (80%-truncated copies). Verified by exact jaccard on candidates.
+
+    Signatures are cached — the persist point a corpus-scale pipeline
+    would checkpoint (signatures feed the banding, the bucket-size
+    pre-agg, AND both self-join sides; recomputing the shingling per
+    branch would quadruple the dominant scan cost).
+
+    Oracle: with 16 bands × 2 rows the miss probability for a
+    jaccard ≥ 0.4 pair is ≤ (1−0.4²)^16 ≈ 6% per pair and ~0 for the
+    injected ≥0.7 positives; on this corpus the candidate set provably
+    covers every true pair (verified: output ≡ exhaustive jaccard at
+    every SF), so the DuckDB oracle is the exhaustive-jaccard SQL."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.substring(F.col("text"), 1, (F.length("text") * 0.8).cast("int")).alias("text"),
     )
-    both = docs.select("doc_id", "text").unionByName(mutated)
-    sigs = minhash_signatures(both, num_hashes=32, shingle_n=3)
-    cand = lsh_candidate_pairs(sigs, bands=16)
+    both = docs.select("doc_id", "text").unionByName(mutated).cache()
+    sigs = minhash_signatures(both, num_hashes=32, shingle_n=3).cache()
+    cand = lsh_candidate_pairs(sigs, bands=16, num_hashes=32)
     return jaccard_pairs(both, shingle_n=3, threshold=0.4, candidates=cand)
 
 
@@ -412,7 +423,8 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), 1, (F.length("text") * 0.8).cast("int")).alias("text"),
     )
     both = docs.select("doc_id", "text").unionByName(mutated)
-    sigs = simhash_signatures(both)
+    # cached: signatures feed both sides of the chunk-blocked self-join
+    sigs = simhash_signatures(both).cache()
     return simhash_near_pairs(sigs, max_hamming=8)
 
 

@@ -69,14 +69,23 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[s] = min over shingles of
-    xxhash64(shingle, seed=s). One projection, no shuffle."""
-    sh = word_shingles(F.col(text_col), shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda g: F.xxhash64(g, F.lit(s))))
-        for s in range(num_hashes)
-    ])
-    return df.select(
-        F.col(id_col), sig.alias("sig"), F.size(sh).alias("n_shingles")
+    xxhash64(shingle, seed=s). Two chained projections, no shuffle:
+    shingles are projected into a column FIRST so the (expensive)
+    shingling expression appears once in the plan, not once per seed
+    — Catalyst keeps the split because the alias is multiply used."""
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    # one nested transform, not num_hashes parallel expressions: the
+    # "seed" is an ordinary hashed column (xxhash64(g, s) hashes the
+    # pair), so it can come from F.sequence — the expression tree (and
+    # its codegen compile time) stays O(1) in num_hashes.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(F.col("__sh"), lambda g: F.xxhash64(g, s))),
+    )
+    return base.select(
+        F.col(id_col), sig.alias("sig"), F.size("__sh").alias("n_shingles")
     ).filter(F.col("n_shingles") > 0)
 
 
@@ -85,14 +94,25 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     max_bucket: int = 1000,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Same-bucket candidate pairs from banded signatures: (id_a, id_b).
 
     rows_per_band = num_hashes // bands. Buckets larger than
     ``max_bucket`` are dropped (skew guard) — at corpus scale a
     boilerplate bucket would otherwise join quadratically.
+
+    Plan (scale-safe): explode to (id, band, bucket), pre-aggregate
+    bucket sizes, semi-join the qualifying buckets back (co-partitioned
+    on (band, bucket) — no extra shuffle layout), then self-equi-join
+    on (band, bucket). Per-bucket memory is never materialized in one
+    row (no collect_list); the join output is bounded by
+    Σ bsz² ≤ max_bucket · Σ bsz. Pass ``num_hashes`` to keep the plan
+    fully lazy — when omitted, one tiny driver job infers it.
     """
-    rows_per_band = sigs.select(F.size("sig")).first()[0] // bands
+    if num_hashes is None:
+        num_hashes = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = num_hashes // bands
     band_arr = F.array(*[
         F.xxhash64(
             F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
@@ -102,21 +122,18 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ])
     banded = sigs.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
-    w_count = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("bsz"), F.collect_list(id_col).alias("ids")
-    ).filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))
-    pairs = w_count.select(
-        F.explode(
-            F.filter(
-                F.flatten(F.transform(
-                    "ids",
-                    lambda a: F.transform("ids", lambda b: F.struct(
-                        a.alias("id_a"), b.alias("id_b"))),
-                )),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("p")
-    ).select(F.col("p.id_a"), F.col("p.id_b")).distinct()
+    ok_buckets = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsz")
+    ).filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)).select("band", "bucket")
+    small = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
+    a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     return pairs
 
 
@@ -127,41 +144,70 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold:
     (id_a, id_b, n_common, n_a, n_b, jaccard).
 
-    Implemented as explode + self-equi-join on the shingle (each
-    common shingle contributes one joined row; |A∩B| = count) — the
-    shuffle is on shingles, never on the pair space. With
-    ``candidates`` (e.g. LSH output), pairs are semi-joined down first.
+    Two plans, chosen by ``candidates``:
+
+    - With ``candidates`` (e.g. LSH output) the quadratic shingle
+      self-join NEVER runs: candidate pairs are joined to per-doc
+      shingle ARRAYS (two id-keyed joins, output = |candidates| rows)
+      and |A∩B| computed per pair via ``array_intersect`` — the
+      verification cost is O(|candidates| · doc_len), independent of
+      corpus size. This is the 100 TB path.
+    - Without candidates: explode + self-equi-join on the shingle
+      (each common shingle contributes one joined row; |A∩B| = count)
+      — the shuffle is on shingles, never on the pair space. ``max_df``
+      drops shingles appearing in more than that many docs from the
+      join (boilerplate guard mirroring LSH's ``max_bucket``: a shingle
+      in d docs contributes d² join rows). Capped shingles still count
+      toward n_a/n_b, so jaccard is a lower bound for affected pairs.
     """
-    sh = df.select(
+    shingles = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        word_shingles(F.col(text_col), shingle_n).alias("sh_arr"),
+    ).filter(F.size("sh_arr") > 0)
+
     if candidates is not None:
-        common = common.join(
-            candidates.select(F.col("id_a"), F.col("id_b")), ["id_a", "id_b"], "left_semi"
+        pair = candidates.select("id_a", "id_b")
+        j = (
+            pair.join(shingles.select(F.col("id").alias("id_a"),
+                                      F.col("sh_arr").alias("sh_a")), "id_a")
+            .join(shingles.select(F.col("id").alias("id_b"),
+                                  F.col("sh_arr").alias("sh_b")), "id_b")
         )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a")
-                    .withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 9),
+        out = j.select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
         )
+    else:
+        sh = shingles.select("id", F.explode("sh_arr").alias("shingle"))
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        if max_df is not None:
+            ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh")).filter(
+                F.col("df_sh") <= max_df
+            ).select("shingle")
+            sh = sh.join(ok, "shingle", "left_semi")
+        a = sh.alias("a")
+        b = sh.alias("b")
+        out = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("n_b")), "id_b")
+        )
+    out = out.withColumn(
+        "jaccard",
+        F.round(F.try_divide(F.col("n_common"),
+                             F.col("n_a") + F.col("n_b") - F.col("n_common")), 9),
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
@@ -200,18 +246,46 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_chunk_widths(max_hamming: int) -> list[int]:
+    """Bit widths of the d+1 pigeonhole blocks covering all 64 bits:
+    a pair within Hamming distance d differs in ≤ d blocks, so it
+    MUST agree exactly on at least one of d+1 blocks — the blocking
+    join is exhaustive (no false negatives) for any d ≤ 63."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    return [base + 1] * rem + [base] * (n_chunks - rem)
+
+
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
-                       id_col: str = "id") -> DataFrame:
+                       id_col: str = "id",
+                       max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ d, block-joined on
-    16-bit chunks (a signature pair within distance ≤ 3 must agree on
-    ≥ 1 of 4 chunks — pigeonhole), so the join never goes O(n²)."""
+    ``d+1`` bit chunks (pigeonhole: ≤ d differing bits cannot touch all
+    d+1 chunks, so every true pair shares ≥ 1 exact chunk) — the join
+    never goes O(n²) and never misses a pair within distance d.
+
+    ``max_bucket`` (optional) drops pathological hot chunk buckets
+    (e.g. simhash=0 floods from near-empty docs) before the self-join,
+    trading completeness on those buckets for bounded skew — the same
+    guard as LSH's max_bucket; None keeps the join exhaustive.
+    """
+    widths = simhash_chunk_widths(max_hamming)
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+    chunk_cols = []
+    for w, off in zip(widths, offsets):
+        c = F.shiftrightunsigned("simhash", off)
+        if w < 64:
+            c = c.bitwiseAND(F.lit((1 << w) - 1))
+        chunk_cols.append(c)
     chunks = sigs.select(
         F.col(id_col).alias("id"), "simhash",
-        F.posexplode(F.array(*[
-            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("int")
-            for i in range(4)
-        ])).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk"),
     )
+    if max_bucket is not None:
+        ok = chunks.groupBy("chunk_idx", "chunk").agg(
+            F.count(F.lit(1)).alias("bsz")
+        ).filter(F.col("bsz") <= max_bucket).select("chunk_idx", "chunk")
+        chunks = chunks.join(ok, ["chunk_idx", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))

@@ -79,19 +79,42 @@ def kendall_tau(
 
 
 def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
-    """Replace columns by average ranks (Spearman prep). Needs one
-    window sort per column — acceptable for the small feature sets
-    correlation is run on; sample first at corpus scale."""
-    out = df
-    for c in columns:
-        w = Window.orderBy(F.col(c))
-        # average rank for ties = (rank + (count-in-group - 1)/2)
-        grp = Window.partitionBy(F.col(c))
-        out = out.withColumn(
-            f"__rk_{c}",
-            F.rank().over(w) + (F.count(F.lit(1)).over(grp) - 1) / 2.0,
-        )
-    return out.select(*[F.col(f"__rk_{c}").alias(c) for c in columns])
+    """Replace columns by average ranks (Spearman prep) with NO global
+    row-level sort: melt the k columns to (rid, column, value) — a
+    projection — then the average rank of each DISTINCT value is
+    computed from condensed per-(column, value) counts
+    (avg_rank = cum_count − cnt + (cnt+1)/2) via a window whose sort is
+    bounded by value cardinality per column, never row count; ranks are
+    shuffle-joined back and pivoted to the wide shape. All shuffles are
+    key-partitioned — no single-reducer stage (r01 VERDICT fix #2).
+
+    ``__rid`` exists only to re-pair ranks of the same original row; the
+    result is invariant to the rid assignment, so
+    monotonically_increasing_id is safe here (any unique labeling works).
+    """
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    melted = (
+        df.select(*columns)
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .select("__rid", F.expr(f"stack({len(columns)}, {pairs}) as (column, value)"))
+    )
+    counts = melted.groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("column").orderBy(F.asc_nulls_first("value")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranks = counts.withColumn("cum", F.sum("cnt").over(w)).select(
+        "column", "value",
+        (F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias("rank"),
+    )
+    m, r = melted.alias("m"), ranks.alias("r")
+    joined = m.join(
+        r,
+        (F.col("m.column") == F.col("r.column"))
+        & F.col("m.value").eqNullSafe(F.col("r.value")),  # rank null values too
+        "left",
+    ).select(F.col("m.__rid"), F.col("m.column"), F.col("r.rank"))
+    wide = joined.groupBy("__rid").pivot("column", columns).agg(F.first("rank"))
+    return wide.select(*columns)
 
 
 def high_corr_pairs(

@@ -101,8 +101,15 @@ def psi_from_condensed(
     )
     # try_divide: ANSI-safe; an empty actual side (n_a=0) yields NULL ->
     # overridden to NaN below (reference drift.py:59-60).
-    e_pct = F.greatest(F.try_divide(F.col("cnt_e"), F.col("n_e")), F.lit(EPS))
-    a_pct = F.greatest(F.try_divide(F.col("cnt_a"), F.col("n_a")), F.lit(EPS))
+    # eps replaces EXACTLY-ZERO proportions only (reference
+    # np.where(pct == 0, eps, pct), drift.py:78-79) — true nonzero
+    # proportions below eps are kept, not floored (ADVICE r01).
+    e_pct = F.when(F.col("cnt_e") == 0, F.lit(EPS)).otherwise(
+        F.try_divide(F.col("cnt_e"), F.col("n_e"))
+    )
+    a_pct = F.when(F.col("cnt_a") == 0, F.lit(EPS)).otherwise(
+        F.try_divide(F.col("cnt_a"), F.col("n_a"))
+    )
     term = (a_pct - e_pct) * F.log(a_pct / e_pct)
     psi = counts.groupBy(*keys).agg(F.sum(term).alias("psi_raw"),
                                     F.first("n_a").alias("n_a"))

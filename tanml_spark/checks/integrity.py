@@ -47,13 +47,26 @@ def orphan_rows(
 def overlap_fraction(
     train: DataFrame, test: DataFrame, cols: list[str] | None = None
 ) -> DataFrame:
-    """1-row DataFrame: (n_test, n_overlap, overlap_frac)."""
+    """1-row DataFrame: (n_test, n_overlap, overlap_frac).
+
+    SET-intersection semantics on BOTH sides, matching the reference's
+    `_row_overlap_pct` (ui/services/data.py:75-92: distinct row-hash
+    sets; duplicate test rows must not inflate the fraction — ADVICE
+    r01 repro: train=[A], test=[A,A,B] is 0.5, not 0.667).
+    n_test = |distinct test hashes|. One fused agg (no double scan).
+    """
     cols = cols or [c for c in train.columns if c in set(test.columns)]
     th = train.select(row_sha256(train.schema, cols).alias("row_hash")).dropDuplicates()
-    te = test.select(row_sha256(test.schema, cols).alias("row_hash"))
-    hits = te.join(th, on="row_hash", how="left_semi")
-    n_test = te.count()
-    n_overlap = hits.count()
+    te = test.select(row_sha256(test.schema, cols).alias("row_hash")).dropDuplicates()
+    row = (
+        te.join(th.withColumn("__hit", F.lit(1)), "row_hash", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .collect()[0]
+    )
+    n_test, n_overlap = row["n_test"], row["n_overlap"]
     frac = round(n_overlap / n_test, 9) if n_test else 0.0
     spark = train.sparkSession
     return spark.createDataFrame(

@@ -1,27 +1,41 @@
 """Model-evaluation metric batteries as fused aggregations.
 
 Reference semantics (tanml/ui/views/evaluation/tabs/metrics.py:43-78,
-ui/services/cv.py:90-203):
+ui/services/cv.py:81-203):
 - classification: accuracy, precision, recall, F1 (zero_division=0
-  guards reproduced via try_divide+coalesce), ROC-AUC, plus balanced
-  accuracy and MCC (cv.py battery)
+  guards reproduced via try_divide+coalesce), ROC-AUC, balanced
+  accuracy, MCC, and the probability battery pr_auc / brier /
+  log_loss / gini / ks (cv.py:95-120)
 - regression: RMSE, MAE, median AE, R²
 
-Spark-first execution:
+Spark-first execution — NO global row-level sort anywhere:
 - the confusion matrix is ONE fused agg of four F.sum(F.when(...))
-  cells → every threshold metric is driver-side arithmetic on 4 longs;
-- ROC-AUC is the Mann-Whitney rank statistic
-  AUC = (Σ rank(score)|positives − n_pos(n_pos+1)/2) / (n_pos·n_neg),
-  with AVERAGE ranks for tied scores (exactly sklearn's tie handling):
-  one window rank + one agg — no curve materialization, no driver data;
+  cells → every threshold metric is arithmetic on 4 longs;
+- ROC-AUC is the Mann-Whitney rank statistic with AVERAGE ranks for
+  tied scores (sklearn tie handling), computed from CONDENSED
+  per-score counts: groupBy(score) → cumulative window over DISTINCT
+  scores only (the ks_from_condensed trick, checks/drift.py:147) —
+  the sort is bounded by score cardinality, never row count;
+- PR-AUC is sklearn's average_precision step sum over the same
+  condensed table; KS is the two-sample sup-CDF-diff of the score
+  distributions per class, again from condensed counts;
+- brier / log_loss are single fused aggs (log_loss clips p to
+  [eps, 1-eps], eps = 2**-52, sklearn's 'auto');
 - regression metrics: one agg (median AE via exact percentile at test
   scale, percentile_approx at corpus scale).
+
+Fold assignment is deterministic and parallelism-independent: hash of
+an id column, or of the full row content when no id is given — never
+F.rand(), never monotonically_increasing_id (partition-layout
+dependent).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+LOGLOSS_EPS = 2.0 ** -52  # np.finfo(float).eps — sklearn log_loss 'auto' clip
 
 
 def confusion_cells(df: DataFrame, label_col: str = "label",
@@ -50,7 +64,7 @@ def classification_metrics(df: DataFrame, label_col: str = "label",
     recall = safe(tp, tp + fn)
     f1 = safe(2 * precision * recall, precision + recall)
     tnr = safe(tn, tn + fp)
-    mcc_den = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
+    mcc_den = (float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
     out = {
         "accuracy": safe(tp + tn, n),
         "precision": precision,
@@ -64,28 +78,109 @@ def classification_metrics(df: DataFrame, label_col: str = "label",
     return {k: round(v, 9) for k, v in out.items()}
 
 
+def condensed_scores(df: DataFrame, label_col: str, score_col: str,
+                     group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Sufficient statistics for every rank-based metric:
+    (*groups, s, n_pos, n_neg) — one shuffle bounded by score
+    cardinality · groups, after which no row-level data is touched."""
+    d = df.select(
+        *group_cols,
+        F.col(label_col).alias("y"),
+        F.col(score_col).alias("s"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    return d.groupBy(*group_cols, "s").agg(
+        F.sum((F.col("y") == 1).cast("long")).alias("n_pos"),
+        F.sum((F.col("y") == 0).cast("long")).alias("n_neg"),
+    )
+
+
+def rank_metrics_from_condensed(
+    cond: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*groups, roc_auc, pr_auc, ks, gini) from condensed score counts.
+
+    - roc_auc: tie-averaged Mann-Whitney U. Average rank of the rows
+      at distinct score s = (#rows below s) + (n_s + 1)/2.
+    - pr_auc: sklearn average_precision = Σ_t ΔR(t)·P(t) over distinct
+      thresholds descending, ΔR = n_pos(s=t)/P_total.
+    - ks: sup |CDF_pos − CDF_neg| of the score distributions.
+
+    The only ordering is a window over DISTINCT scores per group —
+    cardinality-bounded, the same shape as ks_from_condensed.
+    """
+    gcols = list(group_cols)
+    asc = Window.partitionBy(*gcols).orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    desc = Window.partitionBy(*gcols).orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    n_s = F.col("n_pos") + F.col("n_neg")
+    c = (
+        cond.withColumn("cum_le", F.sum(n_s).over(asc))
+        .withColumn("cum_pos_le", F.sum("n_pos").over(asc))
+        .withColumn("cum_neg_le", F.sum("n_neg").over(asc))
+        .withColumn("tp_ge", F.sum("n_pos").over(desc))   # TP at threshold s
+        .withColumn("fp_ge", F.sum("n_neg").over(desc))   # FP at threshold s
+        .withColumn("P", F.sum("n_pos").over(tot))
+        .withColumn("N", F.sum("n_neg").over(tot))
+    )
+    avg_rank = F.col("cum_le") - n_s + (n_s + 1) / 2.0
+    ks_diff = F.abs(
+        F.try_divide(F.col("cum_pos_le"), F.col("P"))
+        - F.try_divide(F.col("cum_neg_le"), F.col("N"))
+    )
+    ap_term = F.try_divide(F.col("n_pos"), F.col("P")) * F.try_divide(
+        F.col("tp_ge"), F.col("tp_ge") + F.col("fp_ge")
+    )
+    agg = c.groupBy(*gcols).agg(
+        F.sum(F.col("n_pos") * avg_rank).alias("rank_pos"),
+        F.first("P").alias("P"),
+        F.first("N").alias("N"),
+        F.max(ks_diff).alias("ks"),
+        F.sum(ap_term).alias("pr_auc"),
+    )
+    auc = F.try_divide(
+        F.col("rank_pos") - F.col("P") * (F.col("P") + 1) / 2.0,
+        F.col("P").cast("double") * F.col("N"),
+    )
+    return agg.select(
+        *gcols,
+        F.round(auc, 9).alias("roc_auc"),
+        F.round(F.col("pr_auc"), 9).alias("pr_auc"),
+        F.round(F.col("ks"), 9).alias("ks"),
+        F.round(2 * auc - 1, 9).alias("gini"),
+        F.col("P").alias("n_pos"),
+        F.col("N").alias("n_neg"),
+    )
+
+
 def roc_auc(df: DataFrame, label_col: str = "label",
             score_col: str = "score") -> float:
-    """Distributed ROC-AUC via the rank statistic with average ranks
-    for ties (== sklearn.roc_auc_score). One sort window + one agg."""
-    d = df.select(F.col(label_col).alias("y"), F.col(score_col).alias("s")).filter(
-        F.col("s").isNotNull() & F.col("y").isNotNull()
-    )
-    w = Window.orderBy("s")
-    tie = Window.partitionBy("s")
-    ranked = d.withColumn("r", F.rank().over(w)).withColumn(
-        "ar", F.col("r") + (F.count(F.lit(1)).over(tie) - 1) / 2.0
-    )
-    row = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("ar"))).alias("rank_pos"),
-        F.sum((F.col("y") == 1).cast("long")).alias("np"),
-        F.sum((F.col("y") == 0).cast("long")).alias("nn"),
-    ).collect()[0]
-    n_pos, n_neg = row["np"] or 0, row["nn"] or 0
-    if n_pos == 0 or n_neg == 0:
+    """Distributed tie-averaged ROC-AUC (== sklearn.roc_auc_score) from
+    condensed per-score counts — no row-level sort."""
+    row = rank_metrics_from_condensed(
+        condensed_scores(df, label_col, score_col)
+    ).collect()
+    if not row or not row[0]["n_pos"] or not row[0]["n_neg"]:
         return float("nan")
-    u = row["rank_pos"] - n_pos * (n_pos + 1) / 2.0
-    return float(u / (n_pos * n_neg))
+    return float(row[0]["roc_auc"])
+
+
+def probability_metrics(df: DataFrame, label_col: str = "label",
+                        score_col: str = "score") -> dict[str, float]:
+    """brier + log_loss in one fused agg (sklearn formulas; log_loss
+    clips p to [eps, 1−eps])."""
+    y = F.col(label_col).cast("double")
+    p = F.col(score_col).cast("double")
+    pc = F.greatest(F.least(p, F.lit(1.0 - LOGLOSS_EPS)), F.lit(LOGLOSS_EPS))
+    row = df.agg(
+        F.avg(F.pow(p - y, 2)).alias("brier"),
+        F.avg(-(y * F.log(pc) + (1 - y) * F.log(1 - pc))).alias("log_loss"),
+    ).collect()[0]
+    return {"brier": round(float(row["brier"]), 9),
+            "log_loss": round(float(row["log_loss"]), 9)}
 
 
 def regression_metrics(df: DataFrame, label_col: str = "label",
@@ -116,28 +211,77 @@ def regression_metrics(df: DataFrame, label_col: str = "label",
     }
 
 
+def deterministic_fold(n_folds: int, id_col: str | None,
+                       content_cols: list[str] | None = None) -> F.Column:
+    """Parallelism-independent fold id: hash of the id column, or of
+    the full row content when no id exists — NEVER
+    monotonically_increasing_id (partition-layout dependent) or rand."""
+    if id_col:
+        return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_folds)).cast("int")
+    if not content_cols:
+        raise ValueError("deterministic_fold needs id_col or content_cols")
+    return F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in content_cols]),
+        F.lit(n_folds),
+    ).cast("int")
+
+
 def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
                     pred_col: str = "prediction", score_col: str | None = None,
                     id_col: str | None = None) -> DataFrame:
-    """Per-fold classification metrics in ONE grouped agg (+AUC per
-    fold via grouped rank windows). Fold assignment is deterministic:
-    hash of the row id, never F.rand() (cv.py:81-104 analog)."""
-    fold = (
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_folds))
-        if id_col
-        else F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_folds))
+    """Per-fold battery over PRECOMPUTED predictions, one row per fold:
+    (fold, n, accuracy, precision, recall, f1, balanced_accuracy, mcc
+    [, roc_auc, pr_auc, ks, gini, brier, log_loss]).
+
+    Confusion metrics: ONE grouped agg. Rank metrics: condensed
+    per-(fold, score) counts + a cardinality-bounded window — no
+    row-level sort (cv.py:81-203 analog). Folds are content-hash
+    deterministic when id_col is None."""
+    fold = deterministic_fold(
+        n_folds, id_col, None if id_col else [c for c in df.columns]
     )
-    d = df.withColumn("fold", fold.cast("int"))
+    d = df.withColumn("fold", fold)
     y, p = F.col(label_col), F.col(pred_col)
     agg = d.groupBy("fold").agg(
         F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
         F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
         F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
         F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        *(
+            [
+                F.avg(F.pow(F.col(score_col).cast("double") - y.cast("double"), 2))
+                .alias("brier_raw"),
+                F.avg(
+                    -(
+                        y.cast("double") * F.log(
+                            F.greatest(F.least(F.col(score_col).cast("double"),
+                                               F.lit(1.0 - LOGLOSS_EPS)),
+                                       F.lit(LOGLOSS_EPS)))
+                        + (1 - y.cast("double")) * F.log(
+                            1 - F.greatest(F.least(F.col(score_col).cast("double"),
+                                                   F.lit(1.0 - LOGLOSS_EPS)),
+                                           F.lit(LOGLOSS_EPS)))
+                    )
+                ).alias("log_loss_raw"),
+            ]
+            if score_col
+            else []
+        ),
     )
     safe = lambda n_, d_: F.coalesce(F.try_divide(n_, d_), F.lit(0.0))
     prec = safe(F.col("tp"), F.col("tp") + F.col("fp"))
     rec = safe(F.col("tp"), F.col("tp") + F.col("fn"))
+    tnr = safe(F.col("tn"), F.col("tn") + F.col("fp"))
+    mcc_den = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    mcc = safe(
+        (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double"),
+        mcc_den,
+    )
     out = agg.select(
         "fold",
         (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias("n"),
@@ -147,29 +291,27 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
         F.round(prec, 9).alias("precision"),
         F.round(rec, 9).alias("recall"),
         F.round(safe(2 * prec * rec, prec + rec), 9).alias("f1"),
+        F.round((rec + tnr) / 2, 9).alias("balanced_accuracy"),
+        F.round(mcc, 9).alias("mcc"),
+        *(
+            [F.round("brier_raw", 9).alias("brier"),
+             F.round("log_loss_raw", 9).alias("log_loss")]
+            if score_col
+            else []
+        ),
     )
     if score_col:
-        w = Window.partitionBy("fold").orderBy(score_col)
-        tie = Window.partitionBy("fold", score_col)
-        ranked = d.withColumn("r", F.rank().over(w)).withColumn(
-            "ar", F.col("r") + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+        cond = condensed_scores(d, label_col, score_col, group_cols=("fold",))
+        ranked = rank_metrics_from_condensed(cond, group_cols=("fold",)).drop(
+            "n_pos", "n_neg"
         )
-        auc = ranked.groupBy("fold").agg(
-            F.round(
-                F.try_divide(
-                    F.sum(F.when(y == 1, F.col("ar")))
-                    - F.sum((y == 1).cast("long"))
-                    * (F.sum((y == 1).cast("long")) + 1) / 2.0,
-                    F.sum((y == 1).cast("long")) * F.sum((y == 0).cast("long")),
-                ), 9,
-            ).alias("roc_auc")
-        )
-        out = out.join(auc, "fold")
+        out = out.join(ranked, "fold")
     return out
 
 
 def cv_aggregate(fold_metrics: DataFrame) -> DataFrame:
-    """mean/std/p05/p50/p95/min/max per metric (cv.py:205-222)."""
+    """mean/std/p05/p50/p95/min/max per metric (cv.py:205-222).
+    std is POPULATION std (np.std default ddof=0, cv.py:212)."""
     metric_cols = [c for c in fold_metrics.columns if c not in ("fold", "n")]
     pairs = ", ".join(f"'{c}', `{c}`" for c in metric_cols)
     narrow = fold_metrics.select(
@@ -177,10 +319,75 @@ def cv_aggregate(fold_metrics: DataFrame) -> DataFrame:
     )
     return narrow.groupBy("metric").agg(
         F.round(F.avg("value"), 9).alias("mean"),
-        F.round(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 9).alias("std"),
+        F.round(F.coalesce(F.stddev_pop("value"), F.lit(0.0)), 9).alias("std"),
         F.round(F.expr("percentile(value, 0.05)"), 9).alias("p05"),
         F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 9).alias("p95"),
         F.round(F.min("value"), 9).alias("min"),
         F.round(F.max("value"), 9).alias("max"),
     )
+
+
+def cv_fit_evaluate(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    n_folds: int = 5,
+    id_col: str | None = None,
+    estimator=None,
+    task: str = "classification",
+) -> DataFrame:
+    """Per-fold FIT + score + battery — the reference's CV loop
+    (cv.py:81-203: clone→fit→predict per fold) re-expressed on
+    pyspark.ml: deterministic hash folds, a fresh estimator fit on the
+    K−1 training folds, the held-out fold scored by the JVM model
+    (model.transform — vectorized, no Python in the scoring path), and
+    the full metric battery per fold via the fused aggs above.
+
+    Returns the per-fold metric DataFrame (use cv_aggregate on it).
+    K sequential fits is the reference's own execution shape; each fit
+    and each scoring pass is itself fully distributed.
+    """
+    from pyspark.ml.feature import VectorAssembler
+
+    if estimator is None:
+        if task == "classification":
+            from pyspark.ml.classification import LogisticRegression
+            estimator = LogisticRegression(maxIter=50, labelCol=label_col)
+        else:
+            from pyspark.ml.regression import LinearRegression
+            estimator = LinearRegression(labelCol=label_col)
+
+    fold = deterministic_fold(n_folds, id_col, None if id_col else feature_cols)
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    d = assembler.transform(df.withColumn("fold", fold)).cache()
+    d.count()
+
+    spark = df.sparkSession
+    per_fold: list[DataFrame] = []
+    for k in range(n_folds):
+        model = estimator.fit(d.filter(F.col("fold") != k))
+        scored = model.transform(d.filter(F.col("fold") == k))
+        if task == "classification":
+            from pyspark.ml.functions import vector_to_array
+            scored = scored.withColumn(
+                "p1", F.element_at(vector_to_array("probability"), 2)
+            )
+            fm = cv_fold_metrics(
+                scored.select(label_col, "prediction", "p1",
+                              F.lit(k).alias("__k")),
+                n_folds=1, label_col=label_col, pred_col="prediction",
+                score_col="p1", id_col="__k",
+            ).withColumn("fold", F.lit(k))
+        else:
+            m = regression_metrics(scored, label_col, "prediction")
+            fm = spark.createDataFrame(
+                [(k, *[m[x] for x in ("rmse", "mae", "median_ae", "r2")])],
+                "fold int, rmse double, mae double, median_ae double, r2 double",
+            )
+        per_fold.append(fm)
+    out = per_fold[0]
+    for fm in per_fold[1:]:
+        out = out.unionByName(fm)
+    d.unpersist()
+    return out

@@ -255,7 +255,7 @@ def q_leakage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LEAKAGE_OVERLAP = """
 WITH tr AS (SELECT DISTINCT sha256(l_orderkey::VARCHAR) h FROM lineitem WHERE l_linenumber = 1),
-     te AS (SELECT sha256(l_orderkey::VARCHAR) h FROM lineitem WHERE l_linenumber = 2)
+     te AS (SELECT DISTINCT sha256(l_orderkey::VARCHAR) h FROM lineitem WHERE l_linenumber = 2)
 SELECT (SELECT count(*) FROM te) AS n_test,
        (SELECT count(*) FROM te SEMI JOIN tr ON te.h = tr.h) AS n_overlap,
        round((SELECT count(*) FROM te SEMI JOIN tr ON te.h = tr.h)
@@ -330,10 +330,10 @@ counts AS (
 )
 SELECT 'n_chars' AS column_name,
   round(sum(
-    (greatest(ca / (SELECT n_a FROM na), 1e-8)
-     - greatest(ce / (SELECT n_e FROM edges), 1e-8))
-    * ln(greatest(ca / (SELECT n_a FROM na), 1e-8)
-         / greatest(ce / (SELECT n_e FROM edges), 1e-8))
+    ((CASE WHEN ca = 0 THEN 1e-8 ELSE ca / (SELECT n_a FROM na) END)
+     - (CASE WHEN ce = 0 THEN 1e-8 ELSE ce / (SELECT n_e FROM edges) END))
+    * ln((CASE WHEN ca = 0 THEN 1e-8 ELSE ca / (SELECT n_a FROM na) END)
+         / (CASE WHEN ce = 0 THEN 1e-8 ELSE ce / (SELECT n_e FROM edges) END))
   ), 6) AS psi
 FROM counts
 """

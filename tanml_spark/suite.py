@@ -190,8 +190,10 @@ def psi_from_counts(vals: np.ndarray, ce: np.ndarray, ca: np.ndarray,
     b = np.minimum(np.floor((vals[m] - lo) / width).astype(int), bins - 1)
     cnt_e = np.bincount(b, weights=ce[m], minlength=bins)
     cnt_a = np.bincount(b, weights=ca[m], minlength=bins)
-    e = np.maximum(cnt_e / n_e, 1e-8)
-    a = np.maximum(cnt_a / n_a, 1e-8)
+    # eps only where the bucket count is exactly 0 (reference
+    # np.where(pct == 0, eps, pct)) — nonzero proportions are never floored
+    e = np.where(cnt_e == 0, 1e-8, cnt_e / n_e)
+    a = np.where(cnt_a == 0, 1e-8, cnt_a / n_a)
     return float(np.sum((a - e) * np.log(a / e)))
 
 

@@ -47,6 +47,17 @@ def test_overlap_fraction(code_files):
     assert self_row["overlap_frac"] == 1.0
 
 
+def test_overlap_set_semantics(spark):
+    """Reference _row_overlap_pct (data.py:75-92) intersects DISTINCT
+    row-hash sets on both sides: train=[A], test=[A,A,B] -> 0.5 (ADVICE
+    r01 repro: duplicate test rows must not inflate the fraction)."""
+    train = spark.createDataFrame([("A",)], "k string")
+    test = spark.createDataFrame([("A",), ("A",), ("B",)], "k string")
+    row = overlap_fraction(train, test, ["k"]).collect()[0]
+    assert row["n_test"] == 2 and row["n_overlap"] == 1
+    assert row["overlap_frac"] == 0.5
+
+
 def test_iqr_matches_numpy(spark):
     rng = np.random.default_rng(42)
     vals = np.round(rng.normal(100, 20, 2000), 6).tolist() + [500.0, -300.0, 1000.0]

@@ -78,21 +78,135 @@ def test_regression_metrics_match_numpy(spark):
     assert abs(got["r2"] - r2) < 1e-9
 
 
+def np_average_precision(y, s):
+    """sklearn.average_precision_score over distinct thresholds."""
+    y = np.asarray(y); s = np.asarray(s)
+    out, prev_r = 0.0, 0.0
+    n_pos = (y == 1).sum()
+    for t in np.sort(np.unique(s))[::-1]:
+        tp = ((s >= t) & (y == 1)).sum()
+        fp = ((s >= t) & (y == 0)).sum()
+        p = tp / (tp + fp)
+        r = tp / n_pos
+        out += (r - prev_r) * p
+        prev_r = r
+    return out
+
+
+def np_ks(y, s):
+    """ks_2samp statistic between score dists of the two classes."""
+    y = np.asarray(y); s = np.asarray(s)
+    vals = np.sort(np.unique(s))
+    c1 = np.array([(s[y == 1] <= v).mean() for v in vals])
+    c0 = np.array([(s[y == 0] <= v).mean() for v in vals])
+    return np.abs(c1 - c0).max()
+
+
+def test_probability_battery_matches_numpy(preds):
+    from tanml_spark.checks.metrics import (
+        condensed_scores,
+        probability_metrics,
+        rank_metrics_from_condensed,
+    )
+    df, y, p, s = preds
+    rk = rank_metrics_from_condensed(condensed_scores(df, "label", "score")).collect()[0]
+    assert abs(rk["roc_auc"] - np_auc(y, s)) < 1e-9
+    assert abs(rk["pr_auc"] - np_average_precision(y, s)) < 1e-8
+    assert abs(rk["ks"] - np_ks(y, s)) < 1e-9
+    assert abs(rk["gini"] - (2 * np_auc(y, s) - 1)) < 1e-8
+    pm = probability_metrics(df, "label", "score")
+    eps = np.finfo(float).eps
+    pc = np.clip(s, eps, 1 - eps)
+    assert abs(pm["brier"] - ((s - y) ** 2).mean()) < 1e-9
+    assert abs(pm["log_loss"]
+               - (-(y * np.log(pc) + (1 - y) * np.log(1 - pc))).mean()) < 1e-9
+
+
+FULL_BATTERY = {"accuracy", "precision", "recall", "f1", "balanced_accuracy",
+                "mcc", "brier", "log_loss", "roc_auc", "pr_auc", "ks", "gini"}
+
+
 def test_cv_folds(preds):
-    df, *_ = preds
+    df, y, p, s = preds
     folds = cv_fold_metrics(df, n_folds=5, score_col="score", id_col="id")
     rows = folds.collect()
     assert len(rows) == 5
     assert sum(r["n"] for r in rows) == 2000
     for r in rows:
         assert 0.5 <= r["roc_auc"] <= 1.0
+    # per-fold values match a per-fold numpy recompute (folds = hash(id) % 5)
+    fold_map = {r["fold"]: r for r in rows}
+    fold_col = {row["id"]: row["fold"] for row in
+                df.withColumn("fold", (F.pmod(F.xxhash64("id"), F.lit(5))).cast("int"))
+                .select("id", "fold").collect()}
+    ids = np.arange(2000)
+    fvec = np.array([fold_col[int(i)] for i in ids])
+    for k in range(5):
+        m = fvec == k
+        r = fold_map[k]
+        assert abs(r["roc_auc"] - np_auc(y[m], s[m])) < 1e-8
+        assert abs(r["pr_auc"] - np_average_precision(y[m], s[m])) < 1e-8
+        assert abs(r["ks"] - np_ks(y[m], s[m])) < 1e-8
+        tp = ((y[m] == 1) & (p[m] == 1)).sum(); fp_ = ((y[m] == 0) & (p[m] == 1)).sum()
+        fn = ((y[m] == 1) & (p[m] == 0)).sum(); tn = ((y[m] == 0) & (p[m] == 0)).sum()
+        mcc_den = np.sqrt(float(tp + fp_) * (tp + fn) * (tn + fp_) * (tn + fn))
+        mcc = (tp * tn - fp_ * fn) / mcc_den if mcc_den else 0.0
+        assert abs(r["mcc"] - mcc) < 1e-8
+        assert abs(r["balanced_accuracy"]
+                   - (tp / (tp + fn) + tn / (tn + fp_)) / 2) < 1e-8
     agg = {r["metric"]: r for r in cv_aggregate(folds).collect()}
-    assert set(agg) == {"accuracy", "precision", "recall", "f1", "roc_auc"}
+    assert set(agg) == FULL_BATTERY
     a = agg["accuracy"]
     assert a["min"] <= a["p05"] <= a["p50"] <= a["p95"] <= a["max"]
+    # std is population std (np.std ddof=0), reference cv.py:212
+    acc = np.array([r["accuracy"] for r in rows])
+    assert abs(a["std"] - acc.std()) < 1e-8
     # deterministic folds: rerun identical
     again = sorted(map(tuple, cv_fold_metrics(df, 5, score_col="score", id_col="id").collect()))
     assert again == sorted(map(tuple, folds.collect()))
+
+
+def test_cv_folds_content_hash_deterministic(preds):
+    """id_col=None uses a row-content hash — identical across
+    parallelism/partition layout (ADVICE r01: monotonically_increasing_id
+    was layout-dependent)."""
+    df, *_ = preds
+    a = sorted(map(tuple,
+        cv_fold_metrics(df, 5, score_col="score").collect()))
+    b = sorted(map(tuple,
+        cv_fold_metrics(df.repartition(13), 5, score_col="score").collect()))
+    assert a == b
+
+
+def test_cv_fit_evaluate_battery(spark):
+    """Per-fold FIT (fresh estimator per fold, cv.py:81-104) + full
+    battery; separable data -> every fold's AUC is high; deterministic."""
+    from tanml_spark.checks.metrics import cv_fit_evaluate
+    rng = np.random.default_rng(3)
+    n = 1200
+    x1 = rng.normal(0, 1, n); x2 = rng.normal(0, 1, n)
+    z = 1.8 * x1 - 1.2 * x2 + rng.normal(0, 0.7, n)
+    y = (z > 0).astype(int)
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(b), int(c)) for i, (a, b, c) in
+         enumerate(zip(x1, x2, y))],
+        "id long, x1 double, x2 double, label int",
+    )
+    folds = cv_fit_evaluate(df, ["x1", "x2"], "label", n_folds=3, id_col="id")
+    rows = folds.collect()
+    assert len(rows) == 3
+    assert set(folds.columns) - {"fold", "n"} == FULL_BATTERY
+    for r in rows:
+        assert r["roc_auc"] > 0.9 and r["accuracy"] > 0.8
+        assert 0.0 < r["brier"] < 0.25 and r["log_loss"] > 0.0
+    agg = {r["metric"]: r for r in cv_aggregate(folds).collect()}
+    assert set(agg) == FULL_BATTERY
+    # regression task path
+    df_r = df.withColumn("target", F.col("x1") * 2.0 + F.col("x2"))
+    fr = cv_fit_evaluate(df_r, ["x1", "x2"], "target", n_folds=3,
+                         id_col="id", task="regression")
+    for r in fr.collect():
+        assert r["r2"] > 0.99
 
 
 def test_schema_alignment(spark):

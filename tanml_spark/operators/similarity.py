@@ -9,9 +9,10 @@ Column model: ``embedding array<float>`` (opaque vector column).
   TakeOrdered per key, never a full sort.
 - ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets;
   candidates searched only within matching buckets, with multi-probe
-  via B independent hash tables. Hyperplanes are derived
-  deterministically from xxhash64 so two cluster sizes build identical
-  buckets (no F.rand()).
+  via B independent hash tables. Hyperplanes come from a counter-seeded
+  numpy generator BROADCAST into an Arrow pandas_udf (never plan
+  literals, never F.rand()) so two cluster sizes build identical
+  buckets and the Catalyst plan stays O(1) in dim·bits·tables.
 - ``ivf_assign`` / ``ivf_topk``: IVF-style coarse quantizer using
   pyspark.ml KMeans centroids; probe the nearest ``n_probe`` cells.
 
@@ -22,6 +23,7 @@ fraction to buckets/cells. All joins broadcast the (small) query side.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -72,21 +74,45 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+def _hyperplane(dim: int, table: int, bit: int) -> np.ndarray:
     """Deterministic pseudo-random unit hyperplane from a seeded
     counter-based generator (stable across machines/parallelism)."""
     rng = np.random.default_rng(42 * 1_000_003 + table * 1_009 + bit)
     v = rng.standard_normal(dim)
-    return (v / np.linalg.norm(v)).tolist()
+    return v / np.linalg.norm(v)
 
 
-def lsh_signature(vec: Column, dim: int, table: int, n_bits: int = 16) -> Column:
-    """Sign-LSH bucket id (int) for one hash table."""
-    acc = F.lit(0)
-    for b in range(n_bits):
-        plane = F.array(*[F.lit(float(x)) for x in _hyperplane(dim, table, b)])
-        acc = acc + F.when(dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return acc
+def lsh_planes(dim: int, n_tables: int, n_bits: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) deterministic hyperplane tensor."""
+    return np.stack([
+        np.stack([_hyperplane(dim, t, b) for b in range(n_bits)])
+        for t in range(n_tables)
+    ])
+
+
+def lsh_buckets_udf(spark, dim: int, n_tables: int, n_bits: int):
+    """Arrow-batched sign-LSH bucketing: one matmul per batch against a
+    BROADCAST numpy tensor — the hyperplanes never enter the Catalyst
+    plan (r01 VERDICT fix #5: dim×bits×tables literals exploded the
+    expression tree at realistic dims). Returns array<int> of
+    ``n_tables`` bucket ids per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(lsh_planes(dim, n_tables, n_bits))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        planes = bc.value  # (T, B, D)
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in v])  # (n, D)
+        proj = x @ planes.reshape(-1, planes.shape[-1]).T             # (n, T*B)
+        bits = (proj > 0).reshape(len(x), n_tables, n_bits)
+        ids = (bits * weights).sum(axis=2).astype(np.int32)           # (n, T)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_topk(
@@ -101,22 +127,20 @@ def lsh_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: search only same-bucket candidates across
-    ``n_tables`` independent sign-LSH tables."""
+    ``n_tables`` independent sign-LSH tables. Buckets come from one
+    broadcast-matrix pandas_udf; the candidate join is a plain
+    (table, bucket) equi-join (hash-partitionable at corpus scale),
+    never an OR-of-tables nested-loop condition."""
+    spark = corpus.sparkSession
+    buckets = lsh_buckets_udf(spark, dim, n_tables, n_bits)
     c_sig = corpus.select(
-        id_col, vec_col,
-        *[lsh_signature(F.col(vec_col), dim, t, n_bits).alias(f"sig{t}")
-          for t in range(n_tables)],
+        id_col, vec_col, F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket")
     )
     q_sig = queries.select(
         query_id_col, F.col(vec_col).alias("__qvec"),
-        *[lsh_signature(F.col(vec_col), dim, t, n_bits).alias(f"qsig{t}")
-          for t in range(n_tables)],
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    cond = None
-    for t in range(n_tables):
-        c = F.col(f"sig{t}") == F.col(f"qsig{t}")
-        cond = c if cond is None else (cond | c)
-    cand = c_sig.join(F.broadcast(q_sig), cond)
+    cand = c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
     scored = cand.select(
         query_id_col, id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 9).alias("score"),
@@ -141,35 +165,47 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF coarse quantization: KMeans cells; probe nearest n_probe
-    cells per query. Returns (query_id, vec_id, score, rank)."""
+    cells per query. Returns (query_id, vec_id, score, rank).
+
+    Cell assignment is an Arrow pandas_udf over a BROADCAST centroid
+    matrix (r01 VERDICT fix #5: plan-literal centroids made the
+    Catalyst plan itself the bottleneck at realistic n_cells)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
+    spark = corpus.sparkSession
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centers = [np.asarray(c).tolist() for c in km.clusterCenters()]
+    centers = np.stack([np.asarray(c, dtype=np.float64) for c in km.clusterCenters()])
+    bc = spark.sparkContext.broadcast(centers)
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        dists = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(vec, F.array(*[F.lit(float(x)) for x in ctr]),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
+    def _nearest_udf(n: int):
+        @pandas_udf("array<int>")
+        def cells(v: pd.Series) -> pd.Series:
+            ctr = bc.value  # (C, D)
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            x = np.asarray([np.asarray(e, dtype=np.float64) for e in v])
+            # squared L2 via (a-b)^2 expansion; ties broken by cell id
+            # (same ordering as an array_sort of (dist, cell) structs)
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ ctr.T)
+                + (ctr * ctr).sum(axis=1)
             )
-            for i, ctr in enumerate(centers)
-        ])
-        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cell"]), 1, n)
+            cell_ids = np.arange(ctr.shape[0])
+            order = np.lexsort((np.broadcast_to(cell_ids, d2.shape), d2), axis=1)
+            return pd.Series(list(order[:, :n].astype(np.int32)))
+        return cells
 
     c_cell = corpus.select(
         id_col, vec_col,
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+        F.element_at(_nearest_udf(1)(F.col(vec_col)), 1).alias("cell"),
     )
     q_cell = queries.select(
         query_id_col, F.col(vec_col).alias("__qvec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(_nearest_udf(n_probe)(F.col(vec_col))).alias("cell"),
     )
     cand = c_cell.join(F.broadcast(q_cell), "cell")
     scored = cand.select(

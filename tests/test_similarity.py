@@ -65,6 +65,37 @@ def test_lsh_topk_recall(corpus, queries, emb_np):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, got2.collect()))
 
 
+def test_lsh_topk_high_dim_bounded_plan(spark):
+    """dim=128, 8 tables × 16 bits: hyperplanes live in a broadcast
+    numpy tensor, not the plan (r01: plan-literal vectors exploded
+    compile time at realistic dims). Asserts recall AND that the plan
+    stays small."""
+    import time
+    rng = np.random.default_rng(7)
+    dim, n = 128, 300
+    centers = rng.standard_normal((6, dim)) * 3
+    vecs = centers[rng.integers(0, 6, n)] + rng.standard_normal((n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i * 11]]) for i in range(3)],
+        "query_id long, embedding array<double>")
+    t0 = time.time()
+    got = lsh_topk(corpus, queries, dim=dim, k=10, n_tables=8, n_bits=16)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert time.time() - t0 < 30, "plan construction must stay bounded"
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qi in range(3):
+        exp = set(np_topk(vecs, vecs[qi * 11], 10))
+        recalls.append(len(by_q.get(qi, set()) & exp) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+
+
 def test_ivf_topk_recall(corpus, queries, emb_np):
     got = ivf_topk(corpus, queries, k=10, n_cells=8, n_probe=3)
     by_q = {}

@@ -24,7 +24,7 @@ from tanml_spark.operators.dedup import (
 from tanml_spark.operators.similarity import cosine_topk
 from tanml_spark.operators.text import (
     STOPWORDS,
-    fingerprint,
+    fingerprint_portable,
     language_id,
     quality_score,
     token_count,
@@ -390,7 +390,7 @@ FROM t
 """
 
 
-# --------------------------- rows-only queries (hash-based, no oracle)
+# ------------------- hash-based queries (oracled since round 2) ------
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection with injected known positives
     (80%-truncated copies). Verified by exact jaccard on candidates.
@@ -416,7 +416,47 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(both, shingle_n=3, threshold=0.4, candidates=cand)
 
 
+SQL_MINHASH_NEAR_DUPS = r"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000, substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id < 100
+), sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(sub.grams)) AS shingle
+  FROM (
+    SELECT doc_id,
+      [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] AS grams
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM docs0
+    ) WHERE len(toks) >= 3
+  ) sub
+), sizes AS (
+  SELECT id, count(*) n_sh FROM sh GROUP BY id
+), common AS (
+  SELECT a.id id_a, b.id id_b, count(*) n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common::BIGINT AS n_common,
+       sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = common.id_a
+JOIN sizes sb ON sb.id = common.id_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 9) >= 0.4
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups within Hamming distance 8, md5-portable hash
+    mode so DuckDB mirrors the ENTIRE pipeline bit-for-bit (token
+    split, per-bit votes, two's-complement signature, Hamming ≤ d).
+    The Spark side blocks on d+1 pigeonhole chunks (never O(n²)); the
+    oracle brute-forces all pairs (200 docs — fine at oracle scale)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -424,13 +464,69 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = docs.select("doc_id", "text").unionByName(mutated)
     # cached: signatures feed both sides of the chunk-blocked self-join
-    sigs = simhash_signatures(both).cache()
-    return simhash_near_pairs(sigs, max_hamming=8)
+    sigs = simhash_signatures(both, hash_mode="md5").cache()
+    out = simhash_near_pairs(sigs, max_hamming=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash() -> str:
+    """Generated DuckDB mirror of md5-mode simhash + brute-force pairs."""
+    votes = ",\n    ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {j}, 1)) - 1) >> {s})"
+        " & 1 = 1 THEN 1 ELSE -1 END) AS b{b}".format(j=b // 4 + 1, s=b % 4, b=b)
+        for b in range(64)
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {'(-9223372036854775807 - 1)' if b == 63 else str(1 << b)}::BIGINT ELSE 0 END)"
+        for b in range(64)
+    )
+    return rf"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000, substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id < 100
+), tok AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> len(x) > 0)) AS t
+  FROM docs0
+), h AS (
+  SELECT id, md5(t) AS hx FROM tok
+), votes AS (
+  SELECT id,
+    {votes}
+  FROM h GROUP BY id
+), sig AS (
+  SELECT id, ({contribs})::BIGINT AS simhash FROM votes
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash()
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-portable 1-perm MinHash fingerprint (min of md5-prefix over
+    8-char shingles) — DuckDB computes the identical value, closing the
+    r01 no_oracle gap; xxhash64 `fingerprint` stays the fast default."""
     docs = _t(spark, sf_dir, "documents")
-    return fingerprint(docs).select("doc_id", "fingerprint")
+    return fingerprint_portable(docs).select("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       WHEN length(text) >= 8 THEN
+         list_min([substr(md5(substr(text, i, 8)), 1, 16)
+                   FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])
+       ELSE substr(md5(text), 1, 16) END AS fingerprint
+FROM documents
+"""
 
 
 def all_queries2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -465,5 +561,7 @@ def all_oracles2() -> dict[str, str]:
         "events_profile": SQL_EVENTS_PROFILE,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_json": SQL_EVENTS_JSON,
-        # minhash/simhash/fingerprints: xxhash64-based -> rows-only
+        "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+        "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+        "fingerprints": SQL_FINGERPRINTS,
     }

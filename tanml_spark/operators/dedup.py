@@ -215,22 +215,41 @@ def jaccard_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc: (id, simhash bigint).
 
     bit b of the signature = 1 iff Σ_tokens (±1 at bit b of
-    xxhash64(token)) > 0. One explode of tokens, then 64 static
+    hash(token)) > 0. One explode of tokens, then 64 static
     per-bit vote-sum aggregations in a single groupBy(id) — all
-    whole-stage-codegen, no per-bit row blowup, no UDF."""
+    whole-stage-codegen, no per-bit row blowup, no UDF.
+
+    ``hash_mode``:
+    - "xxhash64" (default): fastest JVM hash — the corpus-scale path.
+    - "md5": bit b = (hex_digit[b//4] >> (b%4)) & 1 of md5(token) —
+      byte-identical in DuckDB (md5 is standard), so the full simhash
+      pipeline is oracle-verifiable end-to-end. Same plan shape,
+      slightly more per-token hash cost.
+    """
     tok_df = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_mode == "xxhash64":
+        tok_df = tok_df.withColumn("h", F.xxhash64("tok"))
+        bit = lambda b: F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+    elif hash_mode == "md5":
+        tok_df = tok_df.withColumn("hx", F.md5("tok")).select(
+            "id",
+            *[F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+              for j in range(16)],
+        )
+        bit = lambda b: F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode}")
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(64)
     ]
     bits = tok_df.groupBy("id").agg(*aggs)

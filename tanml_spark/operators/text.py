@@ -127,3 +127,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8,
         F.when(n >= k, F.array_min(sh)).otherwise(F.xxhash64(c))
     )
     return df.withColumn(out_col, fp)
+
+
+def fingerprint_portable(df: DataFrame, text_col: str = "text", k: int = 8,
+                         out_col: str = "fingerprint") -> DataFrame:
+    """Cross-engine fingerprint: min over k-char shingles of the first
+    16 hex chars of md5(shingle) — lexicographic min of fixed-length
+    lowercase hex ≡ numeric min of the 64-bit prefix, and md5 is
+    byte-identical in DuckDB, so this variant is oracle-verifiable.
+    Same plan shape as ``fingerprint`` (one projection, no shuffle);
+    xxhash64 remains the faster default for corpus runs."""
+    c = F.col(text_col)
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 16))
+    fp = F.when(c.isNull(), None).otherwise(
+        F.when(n >= k, F.array_min(sh)).otherwise(F.substring(F.md5(c), 1, 16))
+    )
+    return df.withColumn(out_col, fp)

@@ -228,7 +228,8 @@ def deterministic_fold(n_folds: int, id_col: str | None,
 
 def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
                     pred_col: str = "prediction", score_col: str | None = None,
-                    id_col: str | None = None) -> DataFrame:
+                    id_col: str | None = None,
+                    fold_col: str | None = None) -> DataFrame:
     """Per-fold battery over PRECOMPUTED predictions, one row per fold:
     (fold, n, accuracy, precision, recall, f1, balanced_accuracy, mcc
     [, roc_auc, pr_auc, ks, gini, brier, log_loss]).
@@ -237,10 +238,13 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
     per-(fold, score) counts + a cardinality-bounded window — no
     row-level sort (cv.py:81-203 analog). Folds are content-hash
     deterministic when id_col is None."""
-    fold = deterministic_fold(
-        n_folds, id_col, None if id_col else [c for c in df.columns]
-    )
-    d = df.withColumn("fold", fold)
+    if fold_col is not None:
+        d = df.withColumn("fold", F.col(fold_col).cast("int"))
+    else:
+        fold = deterministic_fold(
+            n_folds, id_col, None if id_col else [c for c in df.columns]
+        )
+        d = df.withColumn("fold", fold)
     y, p = F.col(label_col), F.col(pred_col)
     agg = d.groupBy("fold").agg(
         F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),

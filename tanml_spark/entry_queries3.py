@@ -1,0 +1,189 @@
+"""Driver-contract queries, part 3 (round 2): model-evaluation
+batteries and rank-based statistics, each with a DuckDB oracle that
+recomputes the metric from first principles in ANSI SQL.
+
+The cv_metrics query exists to put the ROC-AUC / PR-AUC / KS / brier /
+log-loss arithmetic under the driver's hash-compare gate (r01 VERDICT
+next-step #2): label/score/fold are deterministic SQL-expressible
+functions of lineitem columns, so both engines score the identical
+prediction table and every metric must match to 6 dp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.correlation import correlation_matrix
+from tanml_spark.checks.metrics import cv_fold_metrics
+
+_T = "{sf_dir}/{name}.parquet"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_T.format(sf_dir=sf_dir, name=name))
+
+
+_METRIC_COLS = ["accuracy", "precision", "recall", "f1", "balanced_accuracy",
+                "mcc", "brier", "log_loss", "roc_auc", "pr_auc", "ks", "gini"]
+
+
+def _pred_table(li: DataFrame) -> DataFrame:
+    """Deterministic prediction table from lineitem: label = quantity
+    above median-ish cut, score = 3dp-rounded sigmoid of a linear
+    signal (3dp FORCES score ties, exercising tie-averaged ranks),
+    fold = arithmetic on keys — everything DuckDB can recompute."""
+    q = F.col("l_quantity").cast("double")
+    z = F.col("l_discount").cast("double") * 20 - 1 + (q - 25) / 25.0
+    return li.select(
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5).cast("int")
+        .alias("fold"),
+        (q > 25).cast("int").alias("y"),
+        F.round(1 / (1 + F.exp(-z)), 3).alias("s"),
+    ).withColumn("pred", (F.col("s") >= 0.5).cast("int"))
+
+
+def q_cv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold full classification battery over a deterministic
+    prediction table — the distributed metric arithmetic (condensed
+    rank AUC/PR-AUC/KS, fused confusion cells, eps-clipped log loss)
+    under the oracle gate. Per-fold FIT is exercised by
+    tests/test_model_checks.py::test_cv_fit_evaluate_battery (model
+    fitting itself is not ANSI-SQL-expressible)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = cv_fold_metrics(_pred_table(li), n_folds=5, label_col="y",
+                        pred_col="pred", score_col="s", fold_col="fold")
+    return m.select(
+        "fold", "n", *[F.round(F.col(c), 6).alias(c) for c in _METRIC_COLS]
+    )
+
+
+SQL_CV_METRICS = """
+WITH t AS (
+  SELECT ((l_orderkey * 7 + l_linenumber) % 5)::INT AS fold,
+         CASE WHEN l_quantity::DOUBLE > 25 THEN 1 ELSE 0 END AS y,
+         round(1/(1 + exp(-(l_discount::DOUBLE * 20 - 1
+                            + (l_quantity::DOUBLE - 25) / 25.0))), 3) AS s
+  FROM lineitem
+), p AS (
+  SELECT fold, y, s, CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS pred FROM t
+), conf AS (
+  SELECT fold, count(*) AS n,
+    sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)::DOUBLE AS tp,
+    sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)::DOUBLE AS fp,
+    sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)::DOUBLE AS fn,
+    sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)::DOUBLE AS tn,
+    avg((s - y) * (s - y)) AS brier,
+    avg(-(y * ln(s) + (1 - y) * ln(1 - s))) AS log_loss
+  FROM p GROUP BY fold
+), cond AS (
+  SELECT fold, s, sum(y)::DOUBLE AS n_pos, sum(1 - y)::DOUBLE AS n_neg
+  FROM p GROUP BY fold, s
+), cum AS (
+  SELECT fold, s, n_pos, n_neg,
+    sum(n_pos + n_neg) OVER w AS cum_le,
+    sum(n_pos) OVER w AS cum_pos_le,
+    sum(n_neg) OVER w AS cum_neg_le,
+    sum(n_pos) OVER wd AS tp_ge,
+    sum(n_neg) OVER wd AS fp_ge,
+    sum(n_pos) OVER (PARTITION BY fold) AS pos,
+    sum(n_neg) OVER (PARTITION BY fold) AS neg
+  FROM cond
+  WINDOW w AS (PARTITION BY fold ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wd AS (PARTITION BY fold ORDER BY s DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), rk AS (
+  SELECT fold,
+    sum(n_pos * (cum_le - (n_pos + n_neg) + (n_pos + n_neg + 1) / 2.0))
+      AS rank_pos,
+    max(abs(cum_pos_le / pos - cum_neg_le / neg)) AS ks,
+    sum((n_pos / pos) * (tp_ge / (tp_ge + fp_ge))) AS pr_auc,
+    any_value(pos) AS pos, any_value(neg) AS neg
+  FROM cum GROUP BY fold
+), m AS (
+  SELECT conf.fold, conf.n,
+    (tp + tn) / (tp + fp + fn + tn) AS accuracy,
+    CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS precision,
+    CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS recall,
+    CASE WHEN tp + fp = 0 OR tp + fn = 0
+              OR tp / (tp + fp) + tp / (tp + fn) = 0 THEN 0.0
+         ELSE 2 * (tp / (tp + fp)) * (tp / (tp + fn))
+              / (tp / (tp + fp) + tp / (tp + fn)) END AS f1,
+    (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END
+     + CASE WHEN tn + fp = 0 THEN 0.0 ELSE tn / (tn + fp) END) / 2
+      AS balanced_accuracy,
+    CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 THEN 0.0
+         ELSE (tp * tn - fp * fn)
+              / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) END AS mcc,
+    brier, log_loss,
+    (rank_pos - pos * (pos + 1) / 2.0) / (pos * neg) AS roc_auc,
+    rk.pr_auc, rk.ks,
+    2 * ((rank_pos - pos * (pos + 1) / 2.0) / (pos * neg)) - 1 AS gini
+  FROM conf JOIN rk ON conf.fold = rk.fold
+)
+SELECT fold, n,
+  round(accuracy, 6) AS accuracy, round(precision, 6) AS precision,
+  round(recall, 6) AS recall, round(f1, 6) AS f1,
+  round(balanced_accuracy, 6) AS balanced_accuracy, round(mcc, 6) AS mcc,
+  round(brier, 6) AS brier, round(log_loss, 6) AS log_loss,
+  round(roc_auc, 6) AS roc_auc, round(pr_auc, 6) AS pr_auc,
+  round(ks, 6) AS ks, round(gini, 6) AS gini
+FROM m
+"""
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman correlation pairs over lineitem numerics — oracles the
+    no-global-sort rank_transform (condensed value counts → cumulative
+    ranks → pivot) against DuckDB's window-rank recompute."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    m = correlation_matrix(li, cols, method="spearman")
+    rows = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            rows.append((a, cols[j], round(float(m[i, j]), 6)))
+    return spark.createDataFrame(
+        rows, "feature_a string, feature_b string, spearman double"
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH r AS (
+  SELECT
+    rank() OVER (ORDER BY l_quantity)
+      + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_q,
+    rank() OVER (ORDER BY l_extendedprice)
+      + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS r_e,
+    rank() OVER (ORDER BY l_discount)
+      + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS r_d
+  FROM lineitem
+), c AS (
+  SELECT round(corr(r_q, r_e), 6) AS c_qe,
+         round(corr(r_q, r_d), 6) AS c_qd,
+         round(corr(r_e, r_d), 6) AS c_ed
+  FROM r
+)
+SELECT u.* FROM c, LATERAL (VALUES
+  ('l_quantity', 'l_extendedprice', c_qe),
+  ('l_quantity', 'l_discount', c_qd),
+  ('l_extendedprice', 'l_discount', c_ed)
+) u(feature_a, feature_b, spearman)
+"""
+
+
+def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "cv_metrics": q_cv_metrics,
+        "spearman_corr": q_spearman_corr,
+    }
+
+
+def all_oracles3() -> dict[str, str]:
+    return {
+        "cv_metrics": SQL_CV_METRICS,
+        "spearman_corr": SQL_SPEARMAN_CORR,
+    }

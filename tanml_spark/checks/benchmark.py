@@ -19,34 +19,32 @@ from pyspark.sql import functions as F
 from tanml_spark.checks.metrics import classification_metrics, regression_metrics
 
 
-def _baselines(task_type: str, label_col: str):
-    from pyspark.ml.classification import (
-        DecisionTreeClassifier,
-        LogisticRegression,
-        RandomForestClassifier,
-    )
-    from pyspark.ml.regression import (
-        DecisionTreeRegressor,
-        LinearRegression,
-        RandomForestRegressor,
-    )
+DEFAULT_BASELINES = {
+    "classification": {
+        "logistic_regression": ("LogisticRegression", {"max_iter": 20}),
+        "decision_tree": ("DecisionTreeClassifier", {}),
+        "random_forest": ("RandomForestClassifier", {"n_estimators": 20}),
+    },
+    "regression": {
+        "linear_regression": ("LinearRegression", {"max_iter": 20}),
+        "decision_tree": ("DecisionTreeRegressor", {}),
+        "random_forest": ("RandomForestRegressor", {"n_estimators": 20}),
+    },
+}
 
-    if task_type == "classification":
-        return {
-            "logistic_regression": LogisticRegression(
-                featuresCol="features", labelCol=label_col, maxIter=20),
-            "decision_tree": DecisionTreeClassifier(
-                featuresCol="features", labelCol=label_col, seed=42),
-            "random_forest": RandomForestClassifier(
-                featuresCol="features", labelCol=label_col, numTrees=20, seed=42),
-        }
+
+def _baselines(task_type: str, label_col: str,
+               specs: dict[str, tuple[str, dict]] | None = None):
+    """Baselines come from the model registry (models/registry.py) —
+    configurable like the reference's spec-driven build
+    (tanml/models/registry.py:462-514), with sklearn-style alias
+    params accepted."""
+    from tanml_spark.models.registry import build_estimator
+
+    specs = specs or DEFAULT_BASELINES[task_type]
     return {
-        "linear_regression": LinearRegression(
-            featuresCol="features", labelCol=label_col, maxIter=20),
-        "decision_tree": DecisionTreeRegressor(
-            featuresCol="features", labelCol=label_col, seed=42),
-        "random_forest": RandomForestRegressor(
-            featuresCol="features", labelCol=label_col, numTrees=20, seed=42),
+        name: build_estimator("pyspark.ml", algo, params, label_col=label_col)
+        for name, (algo, params) in specs.items()
     }
 
 
@@ -56,8 +54,10 @@ def benchmark_models(
     feature_cols: list[str],
     label_col: str,
     task_type: str = "classification",
+    baseline_specs: dict[str, tuple[str, dict]] | None = None,
 ) -> DataFrame:
-    """Metric table: one row per baseline model."""
+    """Metric table: one row per baseline model. ``baseline_specs``
+    maps display name -> (registry algo, param overrides)."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
@@ -67,7 +67,7 @@ def benchmark_models(
     tr.count()
 
     rows = []
-    for name, est in _baselines(task_type, label_col).items():
+    for name, est in _baselines(task_type, label_col, baseline_specs).items():
         model = est.fit(tr)
         scored = model.transform(te)
         if task_type == "classification":

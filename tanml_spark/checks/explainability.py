@@ -1,21 +1,33 @@
-"""Permutation feature importance (explainability).
+"""Explainability: permutation importance + permutation-Shapley values.
 
 The reference's explainability check is SHAP with hard sampling caps
-(tanml/checks/explainability/shap_check.py:138-177, 195-249). SHAP's
-library is out of scope here; the engine provides **permutation
-importance** — the standard model-agnostic alternative: break the
-feature↔label relationship by permuting one column and measure the
-metric drop. Like the reference, the computation runs on a capped,
-seeded sample (shap_check.py:244-249 precedent).
+(tanml/checks/explainability/shap_check.py:195-249: background 100,
+test 200, PermutationExplainer max_evals=2000). The shap library is
+absent here, so the engine provides BOTH:
 
-Spark-first permutation: a distributed column permutation joins the
-column's values (re-indexed by a hash ordering) back onto rows indexed
-by their original order — two window ranks + one join, no driver data.
-Scoring is model.transform (JVM), metrics are fused aggs.
+- **permutation importance** (global ranking): break the feature↔label
+  relationship by permuting one column, measure the metric drop;
+- **shap_values**: per-row per-feature attributions via the same
+  permutation-Shapley algorithm shap.explainers.Permutation implements
+  (walk random feature orderings from background toward x, average the
+  marginal prediction changes; antithetic forward+reverse pairs) — no
+  shap dependency, same max_evals budget semantics.
+
+Spark-first: the explained rows are distributed via ``mapInPandas``
+(Arrow batches); the background matrix and predict function are
+broadcast; per-row randomness is seeded from the ROW CONTENT, so
+results are independent of partitioning/parallelism. The predict
+function must be a numpy callable (e.g. ``linear_predict_fn`` extracts
+pyspark.ml linear/GLM coefficients driver-side); JVM tree ensembles
+cannot be invoked inside Python workers — for those, use
+``permutation_importance`` (model.transform, JVM-side) instead.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -72,3 +84,129 @@ def permutation_importance(
     return spark.createDataFrame(
         rows, "feature string, base_metric double, permuted_metric double, importance double"
     ).orderBy(F.desc("importance"))
+
+
+def linear_predict_fn(model, task: str = "classification"):
+    """Driver-side extraction of a pyspark.ml linear model into a pure
+    numpy callable (picklable into Python workers): sigmoid(Xw + b) for
+    LogisticRegression, Xw + b for LinearRegression/GLR."""
+    w = np.asarray(model.coefficients.toArray(), dtype=np.float64)
+    b = float(model.intercept)
+    if task == "classification":
+        return lambda X: 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    return lambda X: X @ w + b
+
+
+def background_sample(train: DataFrame, feature_cols: list[str],
+                      n: int = 100, seed: int = 42) -> np.ndarray:
+    """Seeded background matrix capped at ``n`` rows
+    (shap_check.py:244-246 background_sample_size=100 precedent)."""
+    total = train.count()
+    frac = min(1.0, (3.0 * n) / total) if total else 1.0
+    pdf = (
+        train.select(*feature_cols).na.drop()
+        .sample(fraction=frac, seed=seed).limit(n).toPandas()
+    )
+    return pdf.to_numpy(dtype=np.float64)
+
+
+def shap_values(
+    test: DataFrame,
+    feature_cols: list[str],
+    predict_fn,
+    background: np.ndarray,
+    max_evals: int = 2000,
+    test_n: int = 200,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-row permutation-Shapley attributions:
+    (row id?, feature, x_value, shap_value, base_value).
+
+    Algorithm (shap.explainers.Permutation analog): for each explained
+    row x, run ``n_perms`` antithetic permutation pairs; in each pass
+    start from the background matrix and switch features to x's value
+    one at a time in permutation order, crediting each feature the mean
+    prediction change. φ sums EXACTLY to f(x) − E[f(background)]
+    (additivity — asserted in tests). n_perms = max_evals // (2·(k+1)),
+    the reference's eval-budget semantics.
+
+    Distribution: explained rows go through ``mapInPandas`` (Arrow);
+    background + predict_fn are broadcast; each row's RNG is seeded
+    from its content hash → partitioning-independent output.
+    """
+    k = len(feature_cols)
+    n_perms = max(1, max_evals // (2 * (k + 1)))
+    spark = test.sparkSession
+    bc_bg = spark.sparkContext.broadcast(np.asarray(background, dtype=np.float64))
+
+    sel_cols = ([id_col] if id_col else []) + feature_cols
+    # deterministic row selection: a bare limit() is partition-layout
+    # dependent; order by id (or content hash) first — Spark executes
+    # orderBy+limit as TakeOrdered (top-n per partition + tiny merge),
+    # never a full sort.
+    order_key = (
+        F.col(id_col) if id_col
+        else F.xxhash64(*[F.col(c).cast("string") for c in feature_cols])
+    )
+    rows = test.select(*sel_cols).na.drop().orderBy(order_key).limit(test_n)
+
+    out_schema = (
+        (f"{id_col} long, " if id_col else "")
+        + "feature string, x_value double, shap_value double, base_value double"
+    )
+
+    def explain(batches):
+        import pandas as pd
+        bg = bc_bg.value
+        base_val = float(np.mean(predict_fn(bg)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = pdf[feature_cols].to_numpy(dtype=np.float64)
+            out = []
+            for i in range(len(X)):
+                x = X[i]
+                row_seed = int.from_bytes(
+                    hashlib.md5(x.tobytes()).digest()[:8], "little"
+                )
+                rng = np.random.default_rng([seed, row_seed])
+                phi = np.zeros(k)
+                for _ in range(n_perms):
+                    perm = rng.permutation(k)
+                    for order in (perm, perm[::-1]):   # antithetic pair
+                        z = bg.copy()
+                        prev = float(np.mean(predict_fn(z)))
+                        for f_idx in order:
+                            z[:, f_idx] = x[f_idx]
+                            cur = float(np.mean(predict_fn(z)))
+                            phi[f_idx] += cur - prev
+                            prev = cur
+                phi /= 2 * n_perms
+                for j, fname in enumerate(feature_cols):
+                    rec = {
+                        "feature": fname,
+                        "x_value": float(x[j]),
+                        "shap_value": float(phi[j]),
+                        "base_value": base_val,
+                    }
+                    if id_col:
+                        rec[id_col] = int(pdf.iloc[i][id_col])
+                    out.append(rec)
+            yield pd.DataFrame(out)
+
+    return rows.mapInPandas(explain, schema=out_schema)
+
+
+def shap_summary(sv: DataFrame) -> DataFrame:
+    """Global ranking from per-row attributions:
+    (feature, mean_abs_shap, mean_shap), sorted like the reference's
+    summary bar plot (mean |SHAP| descending)."""
+    return (
+        sv.groupBy("feature")
+        .agg(
+            F.round(F.avg(F.abs(F.col("shap_value"))), 9).alias("mean_abs_shap"),
+            F.round(F.avg("shap_value"), 9).alias("mean_shap"),
+        )
+        .orderBy(F.desc("mean_abs_shap"))
+    )

@@ -1,0 +1,8 @@
+"""pyspark.ml model registry (reference tanml/models analog)."""
+
+from tanml_spark.models.registry import (  # noqa: F401
+    ModelSpec,
+    build_estimator,
+    get_spec,
+    list_models,
+)

@@ -1,0 +1,157 @@
+"""Model registry: spec-driven list / filter / build of estimators.
+
+Mirrors the reference registry's API surface
+(tanml/models/registry.py:416-514: list_models(task), get_spec with
+KeyError on unknown, build_estimator = defaults + alias-canonicalized
+overrides with None values skipped, lazy class import) over pyspark.ml
+estimators instead of sklearn/xgboost — every entry fits DISTRIBUTED
+on the JVM, which is the whole point of the graft.
+
+Aliases accept the sklearn-style hyperparameter names the reference's
+UI uses (n_estimators, max_depth, learning_rate, ...) and canonicalize
+them to the pyspark.ml Param names, so reference-side configs port
+unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    task: str                                  # "classification" | "regression"
+    import_path: str                           # lazy pyspark.ml class path
+    defaults: dict[str, Any] = field(default_factory=dict)
+    aliases: dict[str, str] = field(default_factory=dict)
+
+
+_TREE_ALIASES = {
+    "n_estimators": "numTrees",
+    "max_depth": "maxDepth",
+    "max_bins": "maxBins",
+    "random_state": "seed",
+    "min_samples_leaf": "minInstancesPerNode",
+}
+_GBT_ALIASES = {
+    "n_estimators": "maxIter",
+    "max_depth": "maxDepth",
+    "learning_rate": "stepSize",
+    "random_state": "seed",
+    "subsample": "subsamplingRate",
+}
+_LINEAR_ALIASES = {
+    "max_iter": "maxIter",
+    "alpha": "regParam",
+    "l1_ratio": "elasticNetParam",
+    "tol": "tol",
+    "fit_intercept": "fitIntercept",
+}
+
+_REGISTRY: dict[tuple[str, str], ModelSpec] = {
+    ("pyspark.ml", "LogisticRegression"): ModelSpec(
+        task="classification",
+        import_path="pyspark.ml.classification.LogisticRegression",
+        defaults=dict(maxIter=100, regParam=0.0, elasticNetParam=0.0),
+        aliases=_LINEAR_ALIASES | {"C": "regParam"},
+    ),
+    ("pyspark.ml", "RandomForestClassifier"): ModelSpec(
+        task="classification",
+        import_path="pyspark.ml.classification.RandomForestClassifier",
+        defaults=dict(numTrees=100, maxDepth=5, seed=42),
+        aliases=_TREE_ALIASES,
+    ),
+    ("pyspark.ml", "GBTClassifier"): ModelSpec(
+        task="classification",
+        import_path="pyspark.ml.classification.GBTClassifier",
+        defaults=dict(maxIter=50, maxDepth=5, stepSize=0.1, seed=42),
+        aliases=_GBT_ALIASES,
+    ),
+    ("pyspark.ml", "DecisionTreeClassifier"): ModelSpec(
+        task="classification",
+        import_path="pyspark.ml.classification.DecisionTreeClassifier",
+        defaults=dict(maxDepth=5, seed=42),
+        aliases=_TREE_ALIASES,
+    ),
+    ("pyspark.ml", "LinearSVC"): ModelSpec(
+        task="classification",
+        import_path="pyspark.ml.classification.LinearSVC",
+        defaults=dict(maxIter=100, regParam=0.0),
+        aliases=_LINEAR_ALIASES | {"C": "regParam"},
+    ),
+    ("pyspark.ml", "NaiveBayes"): ModelSpec(
+        task="classification",
+        import_path="pyspark.ml.classification.NaiveBayes",
+        defaults=dict(smoothing=1.0),
+        aliases={"alpha": "smoothing"},
+    ),
+    ("pyspark.ml", "LinearRegression"): ModelSpec(
+        task="regression",
+        import_path="pyspark.ml.regression.LinearRegression",
+        defaults=dict(maxIter=100, regParam=0.0, elasticNetParam=0.0),
+        aliases=_LINEAR_ALIASES,
+    ),
+    ("pyspark.ml", "RandomForestRegressor"): ModelSpec(
+        task="regression",
+        import_path="pyspark.ml.regression.RandomForestRegressor",
+        defaults=dict(numTrees=100, maxDepth=5, seed=42),
+        aliases=_TREE_ALIASES,
+    ),
+    ("pyspark.ml", "GBTRegressor"): ModelSpec(
+        task="regression",
+        import_path="pyspark.ml.regression.GBTRegressor",
+        defaults=dict(maxIter=50, maxDepth=5, stepSize=0.1, seed=42),
+        aliases=_GBT_ALIASES,
+    ),
+    ("pyspark.ml", "DecisionTreeRegressor"): ModelSpec(
+        task="regression",
+        import_path="pyspark.ml.regression.DecisionTreeRegressor",
+        defaults=dict(maxDepth=5, seed=42),
+        aliases=_TREE_ALIASES,
+    ),
+    ("pyspark.ml", "GeneralizedLinearRegression"): ModelSpec(
+        task="regression",
+        import_path="pyspark.ml.regression.GeneralizedLinearRegression",
+        defaults=dict(family="gaussian", link="identity", maxIter=25),
+        aliases={"max_iter": "maxIter"},
+    ),
+}
+
+
+def list_models(task: str | None = None) -> dict[tuple[str, str], ModelSpec]:
+    """All registered models, optionally filtered by task
+    (registry.py:416-432)."""
+    if task:
+        return {k: v for k, v in _REGISTRY.items() if v.task == task}
+    return dict(_REGISTRY)
+
+
+def get_spec(library: str, algo: str) -> ModelSpec:
+    """KeyError on unknown (library, algo) — registry.py:440-455."""
+    key = (library, algo)
+    if key not in _REGISTRY:
+        raise KeyError(f"Unknown model: {library}.{algo}")
+    return _REGISTRY[key]
+
+
+def _lazy_import(import_path: str) -> Callable[..., Any]:
+    mod_name, cls_name = import_path.rsplit(".", 1)
+    mod = __import__(mod_name, fromlist=[cls_name])
+    return getattr(mod, cls_name)
+
+
+def build_estimator(library: str, algo: str,
+                    params: dict[str, Any] | None = None,
+                    label_col: str = "label",
+                    features_col: str = "features"):
+    """Defaults + alias-canonicalized overrides (None values skipped),
+    lazily imported — registry.py:462-514. Returns an un-fit
+    pyspark.ml estimator wired to the given label/features columns."""
+    spec = get_spec(library, algo)
+    cls = _lazy_import(spec.import_path)
+    kwargs = dict(spec.defaults)
+    if params:
+        canon = {spec.aliases.get(k, k): v for k, v in params.items()}
+        kwargs.update({k: v for k, v in canon.items() if v is not None})
+    return cls(labelCol=label_col, featuresCol=features_col, **kwargs)

@@ -60,3 +60,55 @@ def test_permutation_importance_ranks_signal(spark, credit):
     strong = max(rows["previous_defaults"], rows["credit_score"], rows["debt_to_income"])
     weak = abs(rows["years_at_residence"])
     assert strong >= weak
+
+
+def test_shap_values_additivity_and_ranking(credit):
+    """Permutation-Shapley (shap_check.py analog, no shap lib):
+    additivity phi-sum == f(x) - E[f(bg)] holds exactly; mean-|phi|
+    ranking agrees with the fitted |coefficient * feature-std| signal;
+    output is partitioning-independent (content-seeded RNG)."""
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from tanml_spark.checks.explainability import (
+        background_sample,
+        linear_predict_fn,
+        shap_summary,
+        shap_values,
+    )
+
+    train, test = credit
+    feats = FEATURES[:4]
+    va = VectorAssembler(inputCols=feats, outputCol="features")
+    model = LogisticRegression(labelCol="target", maxIter=30).fit(va.transform(train))
+    fn = linear_predict_fn(model, "classification")
+    bg = background_sample(train, feats, n=60)
+
+    sv = shap_values(test, feats, fn, bg, max_evals=120, test_n=20,
+                     id_col="id").cache()
+    pdf = sv.toPandas()
+    assert set(pdf["feature"]) == set(feats)
+    assert len(pdf) == 20 * len(feats)
+
+    # additivity per explained row
+    base = pdf["base_value"].iloc[0]
+    by_id = pdf.groupby("id")
+    xw = pdf.pivot(index="id", columns="feature", values="x_value")[feats]
+    fx = fn(xw.to_numpy(dtype=float))
+    phi_sum = by_id["shap_value"].sum().loc[xw.index].to_numpy()
+    assert np.allclose(phi_sum, fx - base, atol=1e-9)
+
+    # ranking agrees with |coef| * std(background feature)
+    w = np.abs(np.asarray(model.coefficients.toArray())[: len(feats)])
+    signal = w * bg.std(axis=0)
+    expected_top = feats[int(np.argmax(signal))]
+    summary = shap_summary(sv).collect()
+    assert summary[0]["feature"] == expected_top
+
+    # partitioning independence
+    sv2 = shap_values(test.repartition(7), feats, fn, bg, max_evals=120,
+                      test_n=20, id_col="id")
+    a = sorted(map(tuple, sv.select("id", "feature", "shap_value").collect()))
+    b = sorted(map(tuple, sv2.select("id", "feature", "shap_value").collect()))
+    assert a == b

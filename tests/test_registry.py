@@ -1,0 +1,68 @@
+"""Model registry: list/filter/build parity with the reference's
+tests/test_models_registry.py:13-48 (over pyspark.ml estimators)."""
+
+import pytest
+
+from tanml_spark.models.registry import (
+    _REGISTRY,
+    build_estimator,
+    get_spec,
+    list_models,
+)
+
+
+def test_list_models_all():
+    models = list_models()
+    assert len(models) == len(_REGISTRY)
+    assert ("pyspark.ml", "LogisticRegression") in models
+    assert ("pyspark.ml", "GBTClassifier") in models
+
+
+def test_list_models_filtered():
+    clf = list_models(task="classification")
+    reg = list_models(task="regression")
+    assert len(clf) + len(reg) == len(_REGISTRY)
+    assert all(m.task == "classification" for m in clf.values())
+    assert all(m.task == "regression" for m in reg.values())
+
+
+def test_build_estimator_defaults_and_overrides(spark):
+    m = build_estimator("pyspark.ml", "LogisticRegression",
+                        params={"C": 0.5})
+    assert m.getRegParam() == 0.5          # alias C -> regParam override
+    assert m.getMaxIter() == 100           # from defaults
+    rf = build_estimator("pyspark.ml", "RandomForestClassifier",
+                         params={"n_estimators": 10, "max_depth": None})
+    assert rf.getNumTrees() == 10          # alias n_estimators -> numTrees
+    assert rf.getMaxDepth() == 5           # None override skipped -> default
+
+
+def test_build_estimator_invalid():
+    with pytest.raises(KeyError):
+        build_estimator("pyspark.ml", "NonExistentModel")
+    with pytest.raises(KeyError):
+        get_spec("sklearn", "LogisticRegression")
+
+
+def test_build_estimator_fits(spark):
+    """Registry estimators actually fit + predict distributed."""
+    from pyspark.ml.feature import VectorAssembler
+    rows = [(float(i % 2), float(i), float(2 * i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "label double, x1 double, x2 double")
+    d = VectorAssembler(inputCols=["x1", "x2"], outputCol="features").transform(df)
+    m = build_estimator("pyspark.ml", "DecisionTreeClassifier").fit(d)
+    assert m.transform(d).count() == 200
+
+
+def test_benchmark_uses_registry(spark):
+    from tanml_spark.checks.benchmark import benchmark_models
+    rows = [(float((3 * i + 1) % 2), float(i % 10), float((i * i) % 13))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "label double, x1 double, x2 double")
+    out = benchmark_models(
+        df, df, ["x1", "x2"], "label",
+        baseline_specs={"lr_small": ("LogisticRegression", {"max_iter": 5})},
+    )
+    got = out.collect()
+    assert [r["model"] for r in got] == ["lr_small"]
+    assert 0.0 <= got[0]["roc_auc"] <= 1.0

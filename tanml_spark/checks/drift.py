@@ -220,10 +220,94 @@ def ks_bins(
     )
 
 
-def psi_table(
+def psi_bins(
     expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10
 ) -> DataFrame:
-    """Per-column PSI: returns (column, psi). NaN when a side is empty."""
+    """Bucket-FIRST PSI for high-cardinality (continuous) columns:
+    (column, psi) with byte-identical arithmetic to the condensed path.
+
+    Two passes instead of a per-value condense (r01 VERDICT #4: for
+    continuous doubles the condensed table ≈ row count, so its shuffle
+    is O(rows)): pass 1 aggregates min/max/count per column (k rows);
+    pass 2 buckets every row map-side and aggregates
+    groupBy(column, bucket) — partial aggregation means the shuffle
+    carries O(partitions · k · bins) rows regardless of value
+    cardinality. Same reference semantics: edges from EXPECTED only,
+    degenerate range widened ±0.5, out-of-range rows dropped from
+    counts but not totals, eps only on exactly-zero proportions,
+    NaN when a side is empty."""
+    m = _melt(expected, columns, "e").unionByName(_melt(actual, columns, "a"))
+    edges = (
+        m.filter(F.col("side") == "e")
+        .groupBy("column")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+             F.count(F.lit(1)).alias("n_e"))
+    )
+    edges = edges.withColumn(
+        "lo2", F.when(F.col("lo") == F.col("hi"), F.col("lo") - 0.5).otherwise(F.col("lo"))
+    ).withColumn(
+        "hi2", F.when(F.col("lo") == F.col("hi"), F.col("hi") + 0.5).otherwise(F.col("hi"))
+    )
+    n_actual = m.filter(F.col("side") == "a").groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    j = m.join(F.broadcast(edges), "column").join(F.broadcast(n_actual), "column", "left")
+    j = j.withColumn("n_a", F.coalesce(F.col("n_a"), F.lit(0)))
+    width = (F.col("hi2") - F.col("lo2")) / bins
+    in_range = (F.col("value") >= F.col("lo2")) & (F.col("value") <= F.col("hi2"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo2")) / width).cast("int"), F.lit(bins - 1)
+    )
+    counts = (
+        j.filter(in_range)
+        .withColumn("bucket", bucket)
+        .groupBy("column", "bucket")
+        .agg(
+            F.sum((F.col("side") == "e").cast("long")).alias("cnt_e"),
+            F.sum((F.col("side") == "a").cast("long")).alias("cnt_a"),
+            F.first("n_e").alias("n_e"),
+            F.first("n_a").alias("n_a"),
+        )
+    )
+    e_pct = F.when(F.col("cnt_e") == 0, F.lit(EPS)).otherwise(
+        F.try_divide(F.col("cnt_e"), F.col("n_e"))
+    )
+    a_pct = F.when(F.col("cnt_a") == 0, F.lit(EPS)).otherwise(
+        F.try_divide(F.col("cnt_a"), F.col("n_a"))
+    )
+    term = (a_pct - e_pct) * F.log(a_pct / e_pct)
+    psi = counts.groupBy("column").agg(F.sum(term).alias("psi_raw"),
+                                       F.first("n_a").alias("n_a"))
+    return psi.select(
+        "column",
+        F.when((F.col("n_a") == 0) | F.col("psi_raw").isNull(), F.lit(float("nan")))
+        .otherwise(F.col("psi_raw"))
+        .alias("psi"),
+    )
+
+
+PSI_AUTO_CARDINALITY = 100_000  # per-column distinct estimate above which
+                                # the bucket-first plan wins
+
+
+def psi_table(
+    expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10,
+    mode: str = "condensed",
+) -> DataFrame:
+    """Per-column PSI: returns (column, psi). NaN when a side is empty.
+
+    mode: "condensed" (exact sufficient statistics, also feed KS),
+    "binned" (bucket-first, O(bins·k) shuffle — continuous columns at
+    corpus scale), or "auto" (one approx_count_distinct pre-pass picks
+    per the PSI_AUTO_CARDINALITY threshold)."""
+    if mode == "binned":
+        return psi_bins(expected, actual, columns, bins)
+    if mode == "auto":
+        est = expected.agg(*[
+            F.approx_count_distinct(c).alias(c) for c in columns
+        ]).collect()[0]
+        if max(est[c] or 0 for c in columns) > PSI_AUTO_CARDINALITY:
+            return psi_bins(expected, actual, columns, bins)
     return psi_from_condensed(condense(expected, actual, columns), bins)
 
 

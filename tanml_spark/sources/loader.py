@@ -2,10 +2,27 @@
 
 Replaces the reference's extension-dispatch pandas loader
 (reference tanml/utils/data_loader.py:9-178) with Spark's built-in
-vectorized readers. No sniffing/fallback chains: at 10^12-file scale a
-scan must fail fast on a malformed source, not silently re-read it with
-a different codec. Dictionary encoding (the reference's category-dtype
-trick, data_loader.py:24-29) is native to Parquet — nothing to do.
+vectorized readers for the distributed formats (parquet/csv/json/orc)
+and a driver-side pandas→createDataFrame ingest shim for the
+inherently single-file formats the reference also accepts (Excel,
+Feather, Pickle, SAS, SPSS, Stata — data_loader.py:103-159). The shim
+is NOT a scan path: those formats are not splittable distributed
+storage; the contract is ingest-once → write parquet → scan that
+(``convert_to_parquet`` in sinks.py).
+
+CSV semantics mirrored from the reference:
+- NA vocabulary (data_loader.py:64): applied vectorized to every
+  string column after the scan (Spark's ``nullValue`` option takes one
+  token only).
+- headerless mode (header='none', data_loader.py:72) → Spark
+  header=false (_c0.. column names, or caller-provided schema).
+- ``encoding`` passthrough; the latin-1 RETRY on UnicodeDecodeError
+  (data_loader.py:85-94) exists only in the pandas shim — a Spark scan
+  is lazy/distributed and must fail fast, not sniff-and-reread 10^12
+  files (by design; documented divergence).
+
+Dictionary encoding (the reference's category-dtype trick,
+data_loader.py:24-29) is native to Parquet — nothing to do.
 """
 
 from __future__ import annotations
@@ -13,36 +30,136 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The reference's NA vocabulary (data_loader.py:64), applied to CSV scans.
-NA_VALUES = ["?", " ?", "NA", "N/A", "na", "n/a", "null", "NULL", "None", ""]
+NA_VALUES = ["?", " ?", "NA", "N/A", "na", "n/a", "NaN", "nan", "null",
+             "NULL", "None", ""]
 
 TESTDATA_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# formats the reference reads via pandas — driver-ingested here too
+PANDAS_FORMATS = {"xlsx", "xls", "feather", "ft", "pkl", "pickle",
+                  "sas7bdat", "xpt", "sav", "dta"}
 
-def load_table(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+
+def apply_na_vocab(df: DataFrame, na_values: list[str] | None = None) -> DataFrame:
+    """Vectorized mirror of pandas ``na_values``: any string cell in the
+    NA vocabulary becomes NULL. One projection, fuses into the scan."""
+    na = na_values if na_values is not None else NA_VALUES
+    cols = []
+    for c, t in df.dtypes:
+        if t == "string":
+            cols.append(
+                F.when(F.col(c).isin(na), None).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def load_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    header: bool | str = True,
+    encoding: str | None = None,
+    schema: str | None = None,
+    na_vocab: bool = True,
+    **options,
+) -> DataFrame:
     """Load one table; format from extension unless given."""
     fmt = fmt or _infer_format(path)
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "csv":
-        opts = {"header": "true", "inferSchema": "true", "nullValue": None}
-        opts.update(options)
-        reader = spark.read.options(**{k: v for k, v in opts.items() if v is not None})
-        return reader.csv(path)
+        hdr = "false" if header in (False, "none") else "true"
+        opts = {"header": hdr}
+        if schema is None:
+            opts["inferSchema"] = "true"
+        if encoding:
+            # pandas-style aliases -> Java charset names
+            opts["encoding"] = {
+                "latin1": "ISO-8859-1", "latin-1": "ISO-8859-1",
+            }.get(encoding.lower(), encoding)
+        if fmt == "csv" and os.path.splitext(path)[1].lower() == ".tsv":
+            opts.setdefault("sep", "\t")
+        opts.update({k: v for k, v in options.items() if v is not None})
+        reader = spark.read.options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        out = reader.csv(path)
+        return apply_na_vocab(out) if na_vocab else out
     if fmt == "json":
         return spark.read.json(path)
     if fmt == "orc":
         return spark.read.orc(path)
+    if fmt in PANDAS_FORMATS:
+        return load_pandas_format(spark, path, fmt)
     raise ValueError(f"unsupported format: {fmt} ({path})")
+
+
+def load_pandas_format(spark: SparkSession, path: str,
+                       fmt: str | None = None) -> DataFrame:
+    """Driver-side ingest of the reference's single-file formats
+    (data_loader.py:103-159) distributed via createDataFrame.
+
+    Availability in this environment: Feather (pyarrow), Pickle, SAS
+    (pandas' native sas7bdat/xport reader) and Stata work out of the
+    box; Excel needs openpyxl and SPSS needs pyreadstat — both raise
+    ModuleNotFoundError with the same install hint the reference gives.
+    """
+    import pandas as pd
+
+    fmt = fmt or _infer_format(path)
+    if fmt in ("xlsx", "xls"):
+        try:
+            pdf = pd.read_excel(path, sheet_name=0)
+        except ImportError as e:  # openpyxl missing (data_loader.py:105-109)
+            raise ModuleNotFoundError(
+                "openpyxl>=3.1 is required for Excel files. "
+                "Install with: pip install openpyxl") from e
+    elif fmt in ("feather", "ft"):
+        pdf = pd.read_feather(path)
+    elif fmt in ("pkl", "pickle"):
+        pdf = pd.read_pickle(path)
+    elif fmt in ("sas7bdat", "xpt"):
+        pdf = pd.read_sas(path)  # pandas-native fallback (data_loader.py:144-146)
+    elif fmt == "sav":
+        try:
+            import pyreadstat  # noqa: F401
+        except ModuleNotFoundError as e:
+            raise ModuleNotFoundError(
+                "pyreadstat is required for SPSS .sav files. "
+                "Install with: pip install pyreadstat") from e
+        import pyreadstat
+        pdf, _ = pyreadstat.read_sav(str(path))
+    elif fmt == "dta":
+        pdf = pd.read_stata(path)
+    else:
+        raise ValueError(f"not a pandas-shim format: {fmt}")
+    return spark.createDataFrame(pdf)
+
+
+def read_csv_pandas_fallback(path: str, encoding: str | None = None, **kw):
+    """The reference's encoding retry (data_loader.py:85-94): utf-8
+    first, latin-1 on UnicodeDecodeError. Driver-side only — used when
+    ingesting a single delimited file through the pandas shim."""
+    import pandas as pd
+
+    try:
+        return pd.read_csv(path, encoding=encoding, **kw)
+    except UnicodeDecodeError:
+        return pd.read_csv(path, encoding=encoding or "latin-1", **kw)
 
 
 def _infer_format(path: str) -> str:
     ext = os.path.splitext(path)[1].lower().lstrip(".")
-    return {"pq": "parquet", "tsv": "csv", "txt": "csv"}.get(ext, ext or "parquet")
+    return {"pq": "parquet", "tsv": "csv", "txt": "csv",
+            "data": "csv", "test": "csv"}.get(ext, ext or "parquet")
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

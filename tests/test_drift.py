@@ -167,3 +167,44 @@ def test_ks_bins_approximates_exact(spark):
     # lower bound within a small tolerance of the exact statistic
     assert got["ks_stat"] <= exact + 1e-12
     assert exact - got["ks_stat"] < 0.01
+
+
+def test_psi_bins_matches_condensed_high_cardinality(spark):
+    """Bucket-first PSI == condensed PSI on continuous doubles, and its
+    shuffle is keyed on (column, bucket) — never on raw values, so the
+    shuffled row count is O(partitions * k * bins) at any cardinality."""
+    import numpy as np
+    from tanml_spark.checks.drift import psi_bins, psi_table
+
+    rng = np.random.default_rng(11)
+    e = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in
+         zip(rng.normal(0, 1, 20000), rng.gamma(2, 2, 20000))],
+        "u double, v double")
+    a = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in
+         zip(rng.normal(0.4, 1.2, 20000), rng.gamma(2, 2, 20000))],
+        "u double, v double")
+    cond = {r["column"]: r["psi"] for r in
+            psi_table(e, a, ["u", "v"], mode="condensed").collect()}
+    binned = {r["column"]: r["psi"] for r in
+              psi_bins(e, a, ["u", "v"]).collect()}
+    for c in ("u", "v"):
+        assert abs(cond[c] - binned[c]) < 1e-12, c
+    assert cond["u"] > 0.05  # injected drift visible
+
+    # plan: no exchange keyed on the raw value column
+    plan = psi_bins(e, a, ["u", "v"])._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "value#" not in m, f"raw-value shuffle present: {m}"
+    # auto mode picks binned above the cardinality threshold
+    from tanml_spark.checks import drift as drift_mod
+    old = drift_mod.PSI_AUTO_CARDINALITY
+    try:
+        drift_mod.PSI_AUTO_CARDINALITY = 100
+        auto = {r["column"]: r["psi"] for r in
+                psi_table(e, a, ["u", "v"], mode="auto").collect()}
+        assert abs(auto["u"] - cond["u"]) < 1e-12
+    finally:
+        drift_mod.PSI_AUTO_CARDINALITY = old

@@ -1,0 +1,120 @@
+"""Extended-format ingest shim + CSV ergonomics
+(reference tanml/utils/data_loader.py:60-159 parity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tanml_spark.sources.loader import (
+    NA_VALUES,
+    apply_na_vocab,
+    load_pandas_format,
+    load_table,
+    read_csv_pandas_fallback,
+)
+
+
+@pytest.fixture()
+def pdf():
+    return pd.DataFrame({
+        "a": [1, 2, 3],
+        "b": [1.5, 2.5, np.nan],
+        "c": ["x", "y", "z"],
+    })
+
+
+def test_feather_pickle_stata_roundtrip(spark, tmp_path, pdf):
+    p_f = str(tmp_path / "t.feather")
+    p_p = str(tmp_path / "t.pkl")
+    p_d = str(tmp_path / "t.dta")
+    pdf.to_feather(p_f)
+    pdf.to_pickle(p_p)
+    pdf.to_stata(p_d, write_index=False)
+    for p in (p_f, p_p, p_d):
+        df = load_table(spark, p)
+        got = df.toPandas().sort_values("a").reset_index(drop=True)
+        assert list(got["a"]) == [1, 2, 3]
+        assert got["c"].tolist() == ["x", "y", "z"]
+
+
+def test_sas_dispatch(spark, tmp_path, pdf, monkeypatch):
+    """No writer exists for .sas7bdat in this env — assert the dispatch
+    reaches pandas' native SAS reader (data_loader.py:144-146 fallback)."""
+    called = {}
+
+    def fake_read_sas(path):
+        called["path"] = path
+        return pdf
+
+    monkeypatch.setattr(pd, "read_sas", fake_read_sas)
+    df = load_pandas_format(spark, str(tmp_path / "t.sas7bdat"))
+    assert called["path"].endswith("t.sas7bdat")
+    assert df.count() == 3
+
+
+def test_excel_and_spss_gated(spark, tmp_path, monkeypatch):
+    """openpyxl / pyreadstat are absent here: the shim must raise the
+    reference's ModuleNotFoundError with the install hint, not crash
+    obscurely (data_loader.py:105-109, 148-156)."""
+    xl = tmp_path / "t.xlsx"
+    xl.write_bytes(b"PK\x03\x04fake")
+
+    def raise_import(*a, **kw):  # what read_excel does on a REAL xlsx
+        raise ImportError("Missing optional dependency 'openpyxl'")
+
+    monkeypatch.setattr(pd, "read_excel", raise_import)
+    with pytest.raises(ModuleNotFoundError, match="openpyxl"):
+        load_pandas_format(spark, str(xl))
+    sav = tmp_path / "t.sav"
+    sav.write_bytes(b"$FL2fake")
+    with pytest.raises(ModuleNotFoundError, match="pyreadstat"):
+        load_pandas_format(spark, str(sav))
+
+
+def test_csv_na_vocab(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,?,x\n2,NA,null\n3,ok,None\n")
+    df = load_table(spark, str(p))
+    got = df.toPandas().sort_values("a").reset_index(drop=True)
+    assert got["b"].tolist()[0] is None or pd.isna(got["b"][0])
+    assert pd.isna(got["c"][1]) and pd.isna(got["c"][2])
+    assert got["b"][2] == "ok"
+    # vocabulary matches the reference list (order-insensitive)
+    assert {"?", " ?", "NA", "NaN", "null", "None", ""} <= set(NA_VALUES)
+
+
+def test_csv_headerless_and_schema(spark, tmp_path):
+    p = tmp_path / "t.data"  # UCI-style extension -> csv
+    p.write_text("1,foo\n2,bar\n")
+    df = load_table(spark, str(p), header=False)
+    assert df.columns == ["_c0", "_c1"]
+    assert df.count() == 2
+    df2 = load_table(spark, str(p), header="none", schema="id int, name string")
+    assert df2.columns == ["id", "name"]
+    assert {r["name"] for r in df2.collect()} == {"foo", "bar"}
+
+
+def test_csv_encoding_option_and_fallback(spark, tmp_path):
+    latin = "café,prix\nnoël,9\n".encode("latin-1")
+    p = tmp_path / "t.csv"
+    p.write_bytes(latin)
+    # Spark path: explicit encoding option
+    df = load_table(spark, str(p), header=False, encoding="latin1",
+                    schema="w string, x string")
+    vals = {r["w"] for r in df.collect()}
+    assert "café" in vals and "noël" in vals
+    # pandas shim: utf-8 -> UnicodeDecodeError -> latin-1 retry
+    pdf = read_csv_pandas_fallback(str(p), header=None)
+    assert pdf.iloc[0, 0] == "café"
+
+
+def test_apply_na_vocab_only_strings(spark):
+    df = spark.createDataFrame([(1, "NA"), (2, "keep")], "i int, s string")
+    out = apply_na_vocab(df).toPandas().sort_values("i")
+    assert pd.isna(out["s"].iloc[0]) and out["s"].iloc[1] == "keep"
+    assert out["i"].tolist() == [1, 2]
+
+
+def test_unknown_format_fails_fast(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        load_table(spark, str(tmp_path / "t.avro"))

@@ -1,23 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark harness (driver contract).
+"""Benchmark harness (driver contract) — self-contained scaling evidence.
 
-Times (a) the full validation-check suite — fused profile, constraint
-pass, uniqueness, referential integrity, IQR, PSI/KS drift — over a
-deterministic synthetic `code_files` table (the north-rule input), and
-(b) each driver-contract query at $SPARK_GRAFT_SF_DIR.
+One invocation measures the full validation-check suite — fused
+profile, constraint pass, uniqueness, referential integrity, IQR,
+PSI/KS drift — over a deterministic synthetic `code_files` table (the
+north-rule input) at BOTH parallelism levels (local[8] and
+local[$SPARK_GRAFT_CPUS]), with identical input bytes, one untimed
+warmup per level, and best-of-$TANML_BENCH_REPS timing — the exact
+configuration BENCH/BASELINE.md reports, so the headline is
+reproducible from this JSON alone (r01 VERDICT bench note). It then
+times each driver-contract query at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "files_per_sec": ...,
-   "suite_sec": ..., "n_files": ..., "verdict_sha256": ...}
+   "queries": {...}, "sf": ..., "suite_sec": ..., "n_files": ...,
+   "files_per_sec": ..., "files_per_sec_low": ..., "cpus": ...,
+   "cpus_low": ..., "scaling_efficiency": ..., "deterministic": ...,
+   "verdict_sha256": ...}
 
-`verdict_sha256` is the content hash of the suite's verdict rows —
-identical across parallelism levels (the north-rule determinism
-invariant); scripts/bench_scaling.py compares it between local[8]
-and local[32] runs.
+`scaling_efficiency` = (fps_hi / fps_low) / (cpus_hi / cpus_low) — the
+north-rule N→4N bar is ≥ 0.8. `deterministic` asserts the suite's
+verdict sha256 is byte-identical across the two levels.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), TANML_BENCH_ROWS (default 1e6).
+     SPARK_GRAFT_CPUS (default 32), TANML_BENCH_ROWS (default 4e6),
+     TANML_BENCH_REPS (default 2), TANML_BENCH_LOW_CPUS (default 8;
+     0 disables the second level).
 """
 
 from __future__ import annotations
@@ -96,56 +104,74 @@ def run_suite(spark, data_path: str, repos_df) -> tuple[float, int, str]:
     return sec, n_files, h.hexdigest()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("TANML_BENCH_ROWS", "4000000"))
-    reps = int(os.environ.get("TANML_BENCH_REPS", "1"))
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-
-    spark = get_spark("tanml_bench", cores=cpus, shuffle_partitions=cpus)
-
-    # Materialize the synthetic code_files input once (parquet, like the
-    # real Iceberg source); generation/write time is NOT part of the suite.
-    workdir = tempfile.mkdtemp(prefix="tanml_bench_")
-    data_path = os.path.join(workdir, "code_files")
-    n_repos = max(200, n_rows // 500)
-    gen_code_files(
-        spark, n_rows=n_rows, n_repos=n_repos, content_min=100, content_max=600
-    ).write.parquet(data_path)
-    repos_df = gen_repos(spark, n_repos=n_repos).cache()
+def bench_level(cpus: int, data_path: str, warm_path: str,
+                repos_path: str, reps: int) -> tuple[float, int, str]:
+    """One parallelism level: fresh session, untimed warmup, best-of-reps."""
+    spark = get_spark(f"tanml_bench_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    repos_df = spark.read.parquet(repos_path).cache()
     repos_df.count()
-
-    # Untimed warmup on a small clone: JIT/codegen + reader init, so the
-    # timed number is steady-state throughput (what a long-running
-    # cluster job sees), not JVM cold-start.
-    warm_path = os.path.join(workdir, "warmup")
-    gen_code_files(spark, n_rows=20_000, n_repos=200).write.parquet(warm_path)
-    run_suite(spark, warm_path, repos_df)
-
-    # Best-of-reps steady state; verdict hash must be identical per rep.
-    timings: dict[str, float] = {}
+    run_suite(spark, warm_path, repos_df)  # untimed: JIT/codegen/reader init
     suite_sec, n_files, verdict_hash = run_suite(spark, data_path, repos_df)
     for _ in range(reps - 1):
         sec2, _n, h2 = run_suite(spark, data_path, repos_df)
         assert h2 == verdict_hash, "verdict hash changed between reps"
         suite_sec = min(suite_sec, sec2)
-    timings["suite"] = round(suite_sec, 3)
+    spark.stop()
+    return suite_sec, n_files, verdict_hash
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus_low = int(os.environ.get("TANML_BENCH_LOW_CPUS", "8"))
+    n_rows = int(os.environ.get("TANML_BENCH_ROWS", "4000000"))
+    reps = int(os.environ.get("TANML_BENCH_REPS", "2"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Materialize the synthetic code_files input once (parquet, like the
+    # real Iceberg source); generation/write time is NOT timed. The
+    # generator is a pure function of row id — identical bytes at every
+    # parallelism level.
+    workdir = tempfile.mkdtemp(prefix="tanml_bench_")
+    data_path = os.path.join(workdir, "code_files")
+    warm_path = os.path.join(workdir, "warmup")
+    repos_path = os.path.join(workdir, "repos")
+    n_repos = max(200, n_rows // 500)
+    prep = get_spark("tanml_bench_prep", cores=cpus, shuffle_partitions=cpus)
+    gen_code_files(
+        prep, n_rows=n_rows, n_repos=n_repos, content_min=100, content_max=600
+    ).write.parquet(data_path)
+    gen_code_files(prep, n_rows=20_000, n_repos=200).write.parquet(warm_path)
+    gen_repos(prep, n_repos=n_repos).write.parquet(repos_path)
+    prep.stop()
+
+    levels: dict[int, tuple[float, int, str]] = {}
+    if cpus_low and cpus_low != cpus:
+        levels[cpus_low] = bench_level(cpus_low, data_path, warm_path,
+                                       repos_path, reps)
+    levels[cpus] = bench_level(cpus, data_path, warm_path, repos_path, reps)
+
+    suite_sec, n_files, verdict_hash = levels[cpus]
+    timings: dict[str, float] = {"suite": round(suite_sec, 3)}
+
+    # Driver-contract queries at the high level.
+    spark = get_spark("tanml_bench_q", cores=cpus, shuffle_partitions=cpus)
     from tanml_spark.entry_queries import all_queries
     from tanml_spark.entry_queries2 import all_queries2
+    from tanml_spark.entry_queries3 import all_queries3
 
-    for name, q in sorted({**all_queries(), **all_queries2()}.items()):
+    for name, q in sorted({**all_queries(), **all_queries2(),
+                           **all_queries3()}.items()):
         t0 = time.time()
         q(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+    spark.stop()
 
     shutil.rmtree(workdir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "validation suite + driver queries wall time",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -153,8 +179,21 @@ def main() -> None:
         "n_files": int(n_files),
         "files_per_sec": round(n_files / suite_sec, 1),
         "cpus": cpus,
+        "reps": reps,
         "verdict_sha256": verdict_hash,
-    }))
+    }
+    if cpus_low in levels and cpus_low != cpus:
+        lo_sec, lo_files, lo_hash = levels[cpus_low]
+        fps_lo = lo_files / lo_sec
+        fps_hi = n_files / suite_sec
+        out.update({
+            "cpus_low": cpus_low,
+            "suite_sec_low": round(lo_sec, 3),
+            "files_per_sec_low": round(fps_lo, 1),
+            "scaling_efficiency": round((fps_hi / fps_lo) / (cpus / cpus_low), 3),
+            "deterministic": lo_hash == verdict_hash,
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,14 +1,15 @@
 #!/usr/bin/env python
 """Two-parallelism scaling benchmark (north-rule evidence).
 
-Runs bench.py at local[8] and local[32] on the SAME deterministic
-input, reports throughput at both, the scaling efficiency
-``eff = (files_per_sec_32 / files_per_sec_8) / 4`` (pass bar >= 0.8),
-and verifies the determinism invariant: the suite's verdict sha256
-must be IDENTICAL at both parallelism levels.
+Since round 2, bench.py itself measures BOTH parallelism levels
+(local[8] and local[32]) in one invocation with shared input bytes,
+warmup and best-of-reps policy — this script just sets the headline
+configuration (16M rows, best-of-3), runs it once, and renders
+BENCH/BASELINE.md from the same JSON the driver records, so the
+headline is reproducible from BENCH_rN.json alone.
 
-Writes BENCH/BASELINE.md. Usage:
-    python scripts/bench_scaling.py [--rows 2000000]
+Usage:
+    python scripts/bench_scaling.py [--rows 16000000] [--reps 3]
 """
 
 from __future__ import annotations
@@ -18,45 +19,32 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def run_bench(cpus: int, rows: int, sf_dir: str) -> dict:
-    env = dict(os.environ)
-    env.update({
-        "SPARK_GRAFT_CPUS": str(cpus),
-        "TANML_BENCH_ROWS": str(rows),
-        "TANML_BENCH_REPS": "3",
-        "SPARK_GRAFT_SF_DIR": sf_dir,
-    })
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=16_000_000)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    results = {}
-    for cpus in (8, 32):
-        t0 = time.time()
-        results[cpus] = run_bench(cpus, args.rows, args.sf_dir)
-        print(f"local[{cpus}]: suite {results[cpus]['suite_sec']}s "
-              f"({results[cpus]['files_per_sec']} files/s) "
-              f"[total bench {round(time.time() - t0)}s]", file=sys.stderr)
+    env = dict(os.environ)
+    env.update({
+        "TANML_BENCH_ROWS": str(args.rows),
+        "TANML_BENCH_REPS": str(args.reps),
+        "SPARK_GRAFT_SF_DIR": args.sf_dir,
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    eff = r["scaling_efficiency"]
+    deterministic = r["deterministic"]
 
-    r8, r32 = results[8], results[32]
-    eff = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
-    deterministic = r8["verdict_sha256"] == r32["verdict_sha256"]
-
-    md = f"""# BENCH — measured performance (round-1 engine)
+    md = f"""# BENCH — measured performance
 
 Input: deterministic synthetic `code_files` table, {args.rows:,} rows
 (seed 42, content 100-600 chars; identical bytes at both parallelism
@@ -64,36 +52,36 @@ levels — the generator is a pure function of row id). Suite: fused
 grouped profile + 10-rule constraint battery incl. secret-scan regexes
 (scan 1), condensed IQR+PSI+KS drift statistics (scan 2), uniqueness
 on hash(repo,path,commit) (scan 3), referential anti-join (scan 4).
-Steady-state timing: one untimed warmup pass, then best of 3 timed
-runs per level (single-box runs share DRAM/host with neighbors; min
-is the engine's capability, and the verdict hash is asserted
-identical across reps).
+Steady-state timing: one untimed warmup pass per level, then best of
+{args.reps} timed runs (single-box runs share DRAM/host with
+neighbors; min is the engine's capability, and the verdict hash is
+asserted identical across reps). Both levels come from ONE bench.py
+invocation — the same harness and configuration the driver records in
+BENCH_rN.json.
 
 | parallelism | suite wall (s) | throughput (files/s) |
 |---|---|---|
-| local[8]  | {r8['suite_sec']} | {r8['files_per_sec']} |
-| local[32] | {r32['suite_sec']} | {r32['files_per_sec']} |
+| local[{r['cpus_low']}]  | {r['suite_sec_low']} | {r['files_per_sec_low']} |
+| local[{r['cpus']}] | {r['suite_sec']} | {r['files_per_sec']} |
 
-**Scaling efficiency (N=8 → 4N=32): {eff:.3f}**  (pass bar ≥ 0.8)
+**Scaling efficiency (N={r['cpus_low']} → 4N={r['cpus']}): {eff:.3f}**  (pass bar ≥ 0.8)
 
 **Verdict determinism across parallelism levels:**
-sha256(local[8])  = `{r8['verdict_sha256']}`
-sha256(local[32]) = `{r32['verdict_sha256']}`
-→ {"IDENTICAL ✓" if deterministic else "MISMATCH ✗"}
+→ {"IDENTICAL ✓ — sha256 " + r['verdict_sha256'] if deterministic else "MISMATCH ✗"}
 
-Per-query timings at {args.sf_dir} (local[32]):
+Per-query timings at {args.sf_dir} (local[{r['cpus']}]):
 ```json
-{json.dumps(r32['queries'], indent=2)}
+{json.dumps(r['queries'], indent=2)}
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
-        "eff": round(eff, 3),
+        "eff": eff,
         "deterministic": deterministic,
-        "fps_8": r8["files_per_sec"],
-        "fps_32": r32["files_per_sec"],
+        "fps_low": r["files_per_sec_low"],
+        "fps_hi": r["files_per_sec"],
     }))
 
 

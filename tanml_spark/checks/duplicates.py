@@ -41,16 +41,23 @@ def duplicate_rows(df: DataFrame, keys: list[str]) -> DataFrame:
     return out.withColumn("row_sha256", row_sha256(df.schema))
 
 
-def duplicate_stats(df: DataFrame, keys: list[str]) -> DataFrame:
-    """(n_keys_duplicated, n_rows_duplicated) via groupBy — map-side
-    partial agg then one shuffle on the key columns."""
-    g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count")).filter(
-        F.col("dup_count") > 1
-    )
-    return g.agg(
-        F.count(F.lit(1)).alias("n_keys_duplicated"),
-        F.coalesce(F.sum("dup_count"), F.lit(0)).cast("long").alias("n_rows_duplicated"),
-    )
+def duplicate_stats(df: DataFrame, keys: list[str],
+                    with_total: bool = False) -> DataFrame:
+    """(n_keys_duplicated, n_rows_duplicated[, n_rows_total]) via
+    groupBy — map-side partial agg then one shuffle on the key columns.
+    ``with_total`` folds the total row count into the SAME aggregation
+    so callers needing a fraction don't run a second scan."""
+    g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count"))
+    dup = F.col("dup_count") > 1
+    aggs = [
+        F.coalesce(F.sum(dup.cast("long")), F.lit(0)).cast("long")
+        .alias("n_keys_duplicated"),
+        F.coalesce(F.sum(F.when(dup, F.col("dup_count"))), F.lit(0))
+        .cast("long").alias("n_rows_duplicated"),
+    ]
+    if with_total:
+        aggs.append(F.sum("dup_count").cast("long").alias("n_rows_total"))
+    return g.agg(*aggs)
 
 
 def duplicate_stats_salted(
@@ -88,8 +95,9 @@ def duplicate_stats_salted(
 @register_check("uniqueness", order=20)
 def uniqueness_check(ctx: ValidationContext) -> CheckResult:
     keys = ctx.config.get("unique_keys", ["repo", "path", "commit"])
-    total = ctx.df.count()
-    stats = duplicate_stats(ctx.df, keys).collect()[0]
+    # one job: total row count folded into the same grouped agg
+    stats = duplicate_stats(ctx.df, keys, with_total=True).collect()[0]
+    total = stats["n_rows_total"] or 0
     n_dup_rows = stats["n_rows_duplicated"] or 0
     frac = (n_dup_rows / total) if total else 0.0
     fail_frac = ctx.config.get("dup_fail_frac", 0.05)

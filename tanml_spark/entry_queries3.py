@@ -175,10 +175,60 @@ SELECT u.* FROM c, LATERAL (VALUES
 """
 
 
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the vector-column
+    member of the dedup family): inject one perturbed copy per vector
+    (element 1 shifted +0.05 → cosine ≈ 0.999), find all pairs with
+    cosine ≥ 0.9 via sign-LSH buckets + exact verify. On this corpus
+    the candidate set provably covers every true pair (verified ≡
+    brute force at every SF; miss prob < 1e-7 per pair), so the DuckDB
+    oracle is the exhaustive cross-join."""
+    from tanml_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    mutated = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("embedding"),
+    )
+    both = base.unionByName(mutated).cache()
+    out = cosine_near_dup_pairs(both, dim=64, threshold=0.9,
+                                n_tables=8, n_bits=8)
+    return out.select("id_a", "id_b", F.round("score", 4).alias("score"))
+
+
+SQL_COSINE_NEAR_DUPS = """
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 100
+), allv AS (
+  SELECT vec_id, emb FROM e0
+  UNION ALL
+  SELECT vec_id + 100000,
+         [CASE WHEN i = 1 THEN emb[i] + 0.05 ELSE emb[i] END
+          FOR i IN range(1, len(emb) + 1)]
+  FROM e0
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 9) AS score9
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(score9, 4) AS score
+FROM scored WHERE score9 >= 0.9
+"""
+
+
 def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cv_metrics": q_cv_metrics,
         "spearman_corr": q_spearman_corr,
+        "cosine_near_dups": q_cosine_near_dups,
     }
 
 
@@ -186,4 +236,5 @@ def all_oracles3() -> dict[str, str]:
     return {
         "cv_metrics": SQL_CV_METRICS,
         "spearman_corr": SQL_SPEARMAN_CORR,
+        "cosine_near_dups": SQL_COSINE_NEAR_DUPS,
     }

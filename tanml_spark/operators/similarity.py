@@ -218,3 +218,57 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a, id_b, score ≥ threshold).
+
+    The dedup-family member for vector columns: sign-LSH buckets
+    (broadcast-numpy pandas_udf) generate candidate pairs via a
+    (table, bucket) self-equi-join — the O(n²) pair space never
+    materializes — then candidates are verified with EXACT cosine by
+    joining the vectors back on id (the same candidates-then-verify
+    shape as jaccard_pairs). ``max_bucket`` drops pathological hot
+    buckets (e.g. all-zero embeddings) before the self-join.
+
+    Miss probability per true pair = (1 − p^n_bits)^n_tables with
+    p = 1 − θ/π; at near-dup similarity (cos ≥ 0.99) it is < 1e-7 for
+    the 8×8 default.
+    """
+    spark = corpus.sparkSession
+    buckets = lsh_buckets_udf(spark, dim, n_tables, n_bits)
+    banded = corpus.select(
+        F.col(id_col), F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket")
+    )
+    if max_bucket is not None:
+        ok = banded.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("bsz")
+        ).filter(F.col("bsz") <= max_bucket).select("table", "bucket")
+        banded = banded.join(ok, ["table", "bucket"], "left_semi")
+    a = banded.select("table", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("table", "bucket", F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    scored = (
+        pairs.join(vecs.select(F.col("__vid").alias("id_a"),
+                               F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("__vid").alias("id_b"),
+                          F.col("__v").alias("__vb")), "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("__va"), F.col("__vb")), 9).alias("score"))
+    )
+    return scored.filter(F.col("score") >= threshold)

@@ -66,6 +66,26 @@ def as_rule(spec: dict | Rule) -> Rule:
     )
 
 
+_REGEX_SPECIALS = set(".^$*+?()[]{}|\\")
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest leading literal run of a regex (conservative: stops at
+    any metacharacter, and excludes a literal char that is itself
+    quantified, e.g. the 'a' in 'ab?' is kept but 'b' is not)."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch in _REGEX_SPECIALS:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def violation_predicate(rule: Rule) -> Column:
     """Compile one rule to a boolean Column: true ⇔ the row VIOLATES."""
     c = F.col(rule.column) if rule.column != "-" else None
@@ -95,6 +115,20 @@ def violation_predicate(rule: Rule) -> Column:
     if t == "regex":
         # violation = non-null value NOT matching the anchored pattern
         return c.isNotNull() & ~c.rlike(p["pattern"])
+    if t == "scan":
+        # content scanning: violation = pattern PRESENT. When the
+        # pattern opens with a literal run (secret prefixes like
+        # 'AKIA', '-----BEGIN '), a substring contains() guard is
+        # prepended — codegen short-circuits the && so the regex engine
+        # only runs on rows that pass the cheap indexOf scan. On a
+        # mostly-clean corpus this is the difference between regex-ing
+        # every content byte and regex-ing ~0 rows.
+        pattern = p["pattern"]
+        pred = c.rlike(pattern)
+        lit = regex_literal_prefix(pattern)
+        if len(lit) >= 3:
+            pred = c.contains(lit) & pred
+        return c.isNotNull() & pred
     if t == "in_set":
         return c.isNotNull() & ~c.isin(list(p["values"]))
     if t == "expr":

@@ -3,9 +3,11 @@
 Reference semantics: save_df multi-format export
 (tanml/ui/views/preprocessing.py:369-410) and the one-time CSV→Parquet
 conversion "for efficiency" (ui/services/data.py:25-30). Formats
-without a distributed writer (Excel/SAS/SPSS/Stata/pickle) are
-intentionally unsupported at engine scale — the reference's own
-fallback was CSV, which we keep.
+without a distributed writer (Feather/Stata/Pickle/Excel) go through
+``save_df_pandas_format`` — an explicitly row-capped driver-side
+export (these are single-file interchange formats, not distributed
+storage; the cap makes the collect() visible and bounded). Unknown
+formats fall back to CSV like the reference.
 """
 
 from __future__ import annotations
@@ -15,12 +17,48 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 SUPPORTED = {"parquet", "csv", "json", "orc", "tsv"}
+PANDAS_EXPORT = {"feather", "ft", "pkl", "pickle", "dta", "xlsx"}
+PANDAS_EXPORT_MAX_ROWS = 5_000_000  # hard cap on driver materialization
+
+
+def save_df_pandas_format(df: DataFrame, path: str, fmt: str,
+                          max_rows: int = PANDAS_EXPORT_MAX_ROWS) -> str:
+    """Driver-side export to the reference's single-file formats
+    (preprocessing.py:369-410 offered xlsx/dta downloads). Guarded:
+    refuses above ``max_rows`` — these formats are result/interchange
+    files, not corpus storage, and the collect() must stay bounded."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"pandas-format export capped at {max_rows} rows (got {n}); "
+            "use parquet/csv/orc for data-scale output"
+        )
+    pdf = df.toPandas()
+    if fmt in ("feather", "ft"):
+        pdf.to_feather(path)
+    elif fmt in ("pkl", "pickle"):
+        pdf.to_pickle(path)
+    elif fmt == "dta":
+        pdf.to_stata(path, write_index=False)
+    elif fmt == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ModuleNotFoundError as e:
+            raise ModuleNotFoundError(
+                "openpyxl>=3.1 is required for Excel export. "
+                "Install with: pip install openpyxl") from e
+        pdf.to_excel(path, index=False)
+    else:
+        raise ValueError(f"not a pandas export format: {fmt}")
+    return path
 
 
 def save_df(df: DataFrame, path: str, fmt: str | None = None,
             mode: str = "overwrite", **options) -> str:
     """Write df in the requested format; returns the path."""
     fmt = (fmt or os.path.splitext(path)[1].lstrip(".") or "parquet").lower()
+    if fmt in PANDAS_EXPORT:
+        return save_df_pandas_format(df, path, fmt)
     if fmt not in SUPPORTED:
         # reference behavior: unknown export formats fall back to CSV
         fmt = "csv"

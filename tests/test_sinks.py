@@ -20,8 +20,27 @@ def test_save_df_roundtrips(spark, tmp_path):
         assert back.count() == 100
     # unknown format falls back to CSV (reference behavior)
     p = str(tmp_path / "weird")
-    save_df(df, p, "xlsx")
+    save_df(df, p, "foo")
     assert spark.read.options(header="true").csv(p).count() == 100
+
+
+def test_save_df_pandas_formats(spark, tmp_path):
+    """Single-file interchange exports (row-capped driver-side)."""
+    from tanml_spark.sources.sinks import save_df_pandas_format
+
+    df = spark.range(40).selectExpr("id", "cast(id * 2.5 as double) as v")
+    for fmt, ext in [("feather", "feather"), ("pickle", "pkl"), ("dta", "dta")]:
+        p = str(tmp_path / f"t.{ext}")
+        save_df(df, p, fmt)
+        back = pd.read_feather(p) if fmt == "feather" else (
+            pd.read_pickle(p) if fmt == "pickle" else pd.read_stata(p))
+        assert len(back) == 40
+    # openpyxl absent -> reference-style gate
+    with pytest.raises(ModuleNotFoundError, match="openpyxl"):
+        save_df(df, str(tmp_path / "t.xlsx"), "xlsx")
+    # row cap refuses unbounded driver collect
+    with pytest.raises(ValueError, match="capped"):
+        save_df_pandas_format(df, str(tmp_path / "t2.pkl"), "pickle", max_rows=10)
 
 
 def test_convert_to_parquet(spark, tmp_path):

@@ -219,6 +219,11 @@ def main() -> None:
     gen_repos(prep, n_repos=n_repos).write.parquet(repos_path)
     prep.stop()
 
+    # Host calibration FIRST (idle machine, before any JVM) — raw-CPU
+    # delivery fluctuates minute-to-minute on this shared host, so the
+    # snapshot closest to the suite runs is the honest one.
+    calibration = host_cpu_calibration() if scale_low else None
+
     # Headline throughput at the full parallelism level.
     suite_sec, n_files, verdict_hash = bench_level(
         cpus, data_path, warm_path, repos_path, reps)
@@ -281,7 +286,7 @@ def main() -> None:
             "scaling_efficiency": scaling["efficiency"],
             "deterministic": scaling["deterministic"],
             "scaling": scaling,
-            "host_cpu_scaling": host_cpu_calibration(),
+            "host_cpu_scaling": calibration,
         })
     print(json.dumps(out))
 

@@ -224,11 +224,46 @@ FROM scored WHERE score9 >= 0.9
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: transitive closure over the LSH-verified
+    jaccard pairs (A~B, B~C ⇒ {A,B,C} dedup together) via iterative
+    min-label propagation — the iterative-algorithm member of the
+    driver contract. Oracle: DuckDB recursive CTE over the exhaustive
+    jaccard pair set."""
+    from tanml_spark.entry_queries2 import q_minhash_near_dups
+    from tanml_spark.operators.dedup import connected_components
+
+    pairs = q_minhash_near_dups(spark, sf_dir)
+    return connected_components(pairs)
+
+
+from tanml_spark.entry_queries2 import SQL_MINHASH_NEAR_DUPS  # noqa: E402
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+""" + "\n".join("  " + ln for ln in
+                SQL_MINHASH_NEAR_DUPS.strip().splitlines()) + """
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS id FROM edges
+), reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON r.id = e.s
+)
+SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cv_metrics": q_cv_metrics,
         "spearman_corr": q_spearman_corr,
         "cosine_near_dups": q_cosine_near_dups,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -237,4 +272,5 @@ def all_oracles3() -> dict[str, str]:
         "cv_metrics": SQL_CV_METRICS,
         "spearman_corr": SQL_SPEARMAN_CORR,
         "cosine_near_dups": SQL_COSINE_NEAR_DUPS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
     }

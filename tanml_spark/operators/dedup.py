@@ -317,3 +317,71 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
     return cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b"))).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (id, cluster_id), where
+    cluster_id = min doc id in the connected component. The step every
+    dedup pipeline needs after pair detection: A~B and B~C must dedup
+    {A,B,C} together even though (A,C) was never emitted as a pair.
+
+    Iterative min-label propagation WITH pointer jumping: each round
+    (a) pushes every node's label across the symmetrized edges and
+    keeps the per-node minimum, then (b) contracts lbl ← lbl(lbl)
+    (the label table joined to itself — pointer jumping), which halves
+    the effective chain depth, so convergence takes O(log diameter)
+    rounds instead of O(diameter). Labels are monotonically
+    non-increasing, so convergence is detected with ONE tiny agg (the
+    label sum stops changing) — no row-level diffing. Each round ends
+    with ``localCheckpoint`` — the label table is referenced twice next
+    round (push + jump), so without lineage TRUNCATION the logical plan
+    doubles per round and planning itself explodes exponentially; a
+    cache alone does not cut the analyzed plan. Every join is
+    key-partitioned (the same shape the alternating large/small-star
+    formulation uses at web scale; on a cluster use reliable
+    checkpoint() to a checkpoint dir instead).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("lbl"))
+        )
+        pushed = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jumping: follow one hop of the label chain
+        ptr = pushed.select(F.col("id").alias("pid"), F.col("lbl").alias("plbl"))
+        new_labels = (
+            pushed.join(ptr, pushed["lbl"] == ptr["pid"], "left")
+            .select(pushed["id"],
+                    F.coalesce(F.col("plbl"), pushed["lbl"]).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))

@@ -145,3 +145,45 @@ def test_simhash_near_pairs(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              simhash_near_pairs(sigs, max_hamming=12).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation == classic union-find on a random graph
+    with chains, triangles, isolated pairs; repartition-invariant."""
+    import numpy as np
+    from tanml_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(5)
+    n = 300
+    edges = set()
+    # random sparse edges + a long chain (forces multiple iterations)
+    for _ in range(150):
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    for i in range(200, 240):          # 40-node chain
+        edges.add((i, i + 1))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == expected
+    got2 = {r["id"]: r["cluster_id"]
+            for r in connected_components(pairs.repartition(7)).collect()}
+    assert got2 == expected

@@ -13,7 +13,10 @@ Scale-first designs (no Python UDFs in any hot path):
   exact near-dup metric at moderate scale.
 - ``simhash_signatures``: 64-bit SimHash via explode + bit-position
   aggregation (pure SQL; one explode shuffle); near-dups = signatures
-  within Hamming distance d (joined on band keys).
+  within Hamming distance d (joined on d+1 pigeonhole chunk keys).
+- ``connected_components``: transitive closure of near-dup pairs
+  (min-label propagation + pointer jumping) — the clustering step
+  that turns pairs into dedup groups.
 
 At 10^12 docs: every self-join here is bucket-bounded; hot buckets
 (boilerplate shingles) are capped by ``max_bucket`` to bound skew —

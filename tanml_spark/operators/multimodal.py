@@ -2,12 +2,18 @@
 
 Model: media is an opaque ``binary`` column plus typed metadata
 (mime, width/height/duration...). Decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages — the Spark
-side (schema contracts, batch shapes, partition sizing) is real and
-tested; the pixel/sample decode itself is STUBBED behind
-``TANML_SPARK_FAKE_DECODE`` (deterministic fake) because no media
-codec libraries exist in this environment — swap ``_decode_image``
-for PIL/ffmpeg in production.
+frame-sample run as Arrow-batched ``mapInPandas`` stages.
+
+Decode status by format:
+- **REAL decode** (round 2): WAV/PCM via stdlib ``wave`` (sample rate,
+  duration, RMS, peak) and uncompressed 24-bit BMP via header parsing
+  + numpy (width, height, BT.601 mean luma) — see
+  ``extract_media_features`` / ``decode_wav`` / ``decode_bmp``; full
+  encode→decode roundtrips are tested.
+- **Honest absence**: PNG/JPEG/MP4 need PIL/ffmpeg, which this
+  environment lacks — ``extract_media_features`` marks such rows
+  decode_ok=False (never fakes values); the legacy ``_decode_image``
+  stub remains for the schema-contract tests and is clearly marked.
 
 Scale notes: media rows are large — ``repartition`` by size budget
 before mapInPandas so a batch of B rows fits executor memory
@@ -112,3 +118,159 @@ def frame_sample_plan(media: DataFrame, every_n_sec: float = 1.0) -> DataFrame:
         "media_id", "frame_idx",
         (F.col("frame_idx") * every_n_sec).alias("ts_sec"),
     )
+
+
+# --------------------------------------------------------------------
+# REAL decoders for the formats this environment CAN decode without
+# external codec libraries: WAV/PCM (stdlib `wave`) and uncompressed
+# 24-bit BMP (plain header parsing + numpy). PNG/JPEG/MP4 remain
+# stubbed (no PIL/ffmpeg here) — the dispatch marks them decode_ok
+# False instead of faking values.
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, sha256 string, "
+    "kind string, width int, height int, mean_luma double, "
+    "sample_rate int, duration_sec double, rms double, decode_ok boolean"
+)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """PCM16 mono WAV bytes from float samples in [-1, 1] (stdlib)."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    ints = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, float, float, float]:
+    """(sample_rate, duration_sec, rms, peak) from PCM16 WAV bytes."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    return rate, n / rate if rate else 0.0, round(rms, 9), round(peak, 9)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP bytes from an (h, w, 3) uint8 array."""
+    import struct
+
+    h, w, _ = rgb.shape
+    row_size = (3 * w + 3) & ~3  # rows padded to 4 bytes
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y, :, ::-1].tobytes()  # BGR
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma) from uncompressed 24-bit BMP bytes."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h_raw = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    h = abs(h_raw)
+    row_size = (3 * w + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    arr = arr.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if h_raw > 0:
+        arr = arr[::-1]  # bottom-up storage -> top-down
+    bgr = arr.astype(np.float64)
+    # ITU-R BT.601 luma; BMP stores BGR
+    luma = 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+    return w, h, round(float(luma.mean()) / 255.0, 9)
+
+
+def gen_real_media(spark, n: int = 60) -> DataFrame:
+    """Deterministic REAL media table: per id, a sine-wave WAV or a
+    gradient BMP, generated executor-side in Arrow batches (pure
+    function of media_id — identical at any parallelism)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    freq = 220.0 + 20.0 * (mid % 10)
+                    t = np.arange(0, 1600) / 16000.0
+                    data = encode_wav(0.5 * np.sin(2 * np.pi * freq * t))
+                    mime = "audio/wav"
+                    meta = {"freq_hz": str(freq)}
+                else:
+                    w, h = 16 + (mid % 5) * 8, 8 + (mid % 3) * 8
+                    gx = np.linspace(0, 255, w, dtype=np.float64)
+                    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+                    rgb[..., 0] = np.broadcast_to(gx, (h, w)).astype(np.uint8)
+                    rgb[..., 1] = (mid * 7) % 256
+                    rgb[..., 2] = 128
+                    data = encode_bmp(rgb)
+                    mime = "image/bmp"
+                    meta = {"pattern": "gradient"}
+                rows.append({"media_id": mid, "mime": mime, "data": data,
+                             "meta": meta})
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction with REAL decode for wav/bmp
+    and honest decode_ok=False for codecs absent in this environment.
+    Binary column never leaves the executor stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, data in zip(pdf["media_id"], pdf["mime"], pdf["data"]):
+                data = bytes(data)
+                rec = {
+                    "media_id": int(mid), "mime": mime,
+                    "n_bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest(),
+                    "kind": mime.split("/")[0],
+                    "width": 0, "height": 0, "mean_luma": 0.0,
+                    "sample_rate": 0, "duration_sec": 0.0, "rms": 0.0,
+                    "decode_ok": False,
+                }
+                try:
+                    if mime == "audio/wav":
+                        rate, dur, rms, _peak = decode_wav(data)
+                        rec.update(sample_rate=rate, duration_sec=dur,
+                                   rms=rms, decode_ok=True)
+                    elif mime == "image/bmp":
+                        w, h, luma = decode_bmp(data)
+                        rec.update(width=w, height=h, mean_luma=luma,
+                                   decode_ok=True)
+                except Exception:  # malformed media: flagged, never fatal
+                    rec["decode_ok"] = False
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(extract, schema=MEDIA_FEATURES_SCHEMA)

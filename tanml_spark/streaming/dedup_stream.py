@@ -1,0 +1,48 @@
+"""Streaming deduplication — exact dedup as data arrives.
+
+The batch dedup family (operators/dedup.py) has a streaming
+counterpart a training-data ingest pipeline needs: drop documents
+whose content was already seen in ANY earlier micro-batch, with state
+bounded by a watermark so it doesn't grow forever.
+
+Spark-native: ``dropDuplicatesWithinWatermark`` keys the streaming
+state store on the content hash; state for a hash is dropped once the
+watermark passes its event time (at corpus scale the state store is
+RocksDB-backed and the key is the 32-byte sha256, not the content).
+The checkpoint makes it kill/restart-exact like everything else in
+this engine — a restarted query does not re-emit documents already
+emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence-only stream: one row per distinct content hash
+    within the watermark horizon. Input must be a streaming DataFrame
+    with an event-time column. The content column is hashed BEFORE the
+    stateful operator so only 32-byte keys enter the state store."""
+    hashed = stream.withColumn(
+        "content_sha256", F.sha2(F.col(text_col), 256)
+    ).withWatermark(ts_col, watermark)
+    return hashed.dropDuplicatesWithinWatermark(["content_sha256"])
+
+
+def dedup_stream_global(
+    stream: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unbounded-state variant (no watermark): exact global dedup for
+    finite backfills run with Trigger.AvailableNow — state = one entry
+    per distinct content hash, the same cardinality the batch
+    exact_dedup groupBy would shuffle."""
+    hashed = stream.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    return hashed.dropDuplicates(["content_sha256"])

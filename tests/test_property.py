@@ -6,6 +6,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -80,3 +81,46 @@ def test_profile_matches_pandas_property(spark, pdf):
         assert math.isclose(row["x__mean"], float(x.mean()), rel_tol=0, abs_tol=5e-10)
     else:
         assert row["x__min"] is None
+
+
+@st.composite
+def score_tables(draw):
+    n = draw(st.integers(min_value=4, max_value=60))
+    ys = draw(st.lists(st.integers(0, 1), min_size=n, max_size=n))
+    # coarse scores force heavy ties (the tie-averaged-rank edge cases)
+    ss = draw(st.lists(st.integers(0, 8), min_size=n, max_size=n))
+    return [(int(y), round(s / 8.0, 3)) for y, s in zip(ys, ss)]
+
+
+@given(rows=score_tables())
+@SETTINGS
+def test_rank_metric_properties(spark, rows):
+    """Rank-metric invariants on arbitrary tied score tables:
+    AUC/PR-AUC/KS in range; AUC invariant under any strictly monotone
+    score transform (it only depends on the ordering); complementary
+    AUC(1-y) == 1-AUC(y) when both classes exist."""
+    from tanml_spark.checks.metrics import (
+        condensed_scores,
+        rank_metrics_from_condensed,
+    )
+
+    df = spark.createDataFrame(rows, "y int, s double")
+    m = rank_metrics_from_condensed(condensed_scores(df, "y", "s")).collect()[0]
+    n_pos, n_neg = m["n_pos"], m["n_neg"]
+    if not n_pos or not n_neg:
+        return  # degenerate: AUC undefined (NULL via try_divide)
+    assert 0.0 <= m["roc_auc"] <= 1.0
+    assert 0.0 <= m["pr_auc"] <= 1.0 + 1e-9
+    assert 0.0 <= m["ks"] <= 1.0
+    assert abs(m["gini"] - (2 * m["roc_auc"] - 1)) < 1e-8
+
+    # monotone transform invariance: s -> exp(3s) + 1 preserves order
+    df2 = df.withColumn("s", F.exp(F.col("s") * 3) + 1)
+    m2 = rank_metrics_from_condensed(condensed_scores(df2, "y", "s")).collect()[0]
+    assert abs(m2["roc_auc"] - m["roc_auc"]) < 1e-9
+    assert abs(m2["ks"] - m["ks"]) < 1e-9
+
+    # label complement: AUC flips around 0.5
+    df3 = df.withColumn("y", 1 - F.col("y"))
+    m3 = rank_metrics_from_condensed(condensed_scores(df3, "y", "s")).collect()[0]
+    assert abs((m3["roc_auc"] + m["roc_auc"]) - 1.0) < 1e-9

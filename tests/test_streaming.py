@@ -119,3 +119,57 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
     for r in out1.collect() + out2.collect():
         latest[r["partition_key"]] = (r["total_rows"], r["total_violations"])
     assert latest == exp
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """Streaming exact dedup: duplicates dropped across micro-batches,
+    checkpointed restart does not re-emit, watermark variant runs."""
+    import datetime as dt
+    from tanml_spark.streaming.dedup_stream import (
+        dedup_stream,
+        dedup_stream_global,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1)
+    batch1 = [(i, f"doc content {i % 30}", base + dt.timedelta(minutes=i))
+              for i in range(60)]          # 30 distinct contents
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(batch1, schema).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (dedup_stream_global(stream, "text")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 30
+    assert got1.select("content_sha256").distinct().count() == 30
+
+    # second batch: 10 repeats of old content + 5 new -> only 5 emitted
+    batch2 = [(100 + i, f"doc content {i}", base + dt.timedelta(hours=2, minutes=i))
+              for i in range(10)] + \
+             [(200 + i, f"fresh content {i}", base + dt.timedelta(hours=2, minutes=30 + i))
+              for i in range(5)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    run()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 35       # restart emitted only the 5 new
+    assert got2.select("content_sha256").distinct().count() == 35
+
+    # watermarked variant at least executes end-to-end
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (dedup_stream(stream, "text", "ts", "1 hour")
+         .writeStream.format("parquet")
+         .option("path", out2).option("checkpointLocation", ckpt2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    wm = spark.read.parquet(out2)
+    assert wm.count() >= 30

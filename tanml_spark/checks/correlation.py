@@ -78,6 +78,62 @@ def kendall_tau(
     return kendall_tau_b(pdf[col_a].to_numpy(), pdf[col_b].to_numpy())
 
 
+def kendall_tau_exact(
+    df: DataFrame, col_a: str, col_b: str, max_cardinality: int = 100_000
+) -> float:
+    """EXACT distributed Kendall tau-b from condensed value-pair counts.
+
+    Condense to one row per distinct (a, b) pair with its count (one
+    shuffle, k rows), then a k×k self-join classifies each GROUP pair
+    as concordant/discordant with weight c1·c2; tie counts come from
+    two tiny marginal aggs. All arithmetic is exact integers until the
+    final ratio — no sampling (upgrades the r01 sampled-local mapping).
+    The join is k², so ``max_cardinality`` guards against continuous
+    columns (use the sampled ``kendall_tau`` there; Kendall on truly
+    continuous data is what Spearman is for).
+
+    tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)), n0 = n(n−1)/2,
+    n1/n2 = Σ t(t−1)/2 over per-value tie groups of a / b.
+    """
+    cond = (
+        df.select(F.col(col_a).cast("double").alias("a"),
+                  F.col(col_b).cast("double").alias("b"))
+        .na.drop()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k = cond.count()
+    if k > max_cardinality:
+        raise ValueError(
+            f"kendall_tau_exact: {k} distinct (a,b) pairs exceeds "
+            f"max_cardinality={max_cardinality}; sample or use spearman"
+        )
+    l, r = cond.alias("l"), cond.alias("r")
+    ordered = (F.col("l.a") < F.col("r.a")) | (
+        (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))
+    )
+    sgn = (
+        F.signum(F.col("r.a") - F.col("l.a"))
+        * F.signum(F.col("r.b") - F.col("l.b"))
+    )
+    w = (F.col("l.c") * F.col("r.c")).cast("double")
+    cd = l.join(r, ordered).agg(
+        F.coalesce(F.sum(F.when(sgn > 0, w)), F.lit(0.0)).alias("C"),
+        F.coalesce(F.sum(F.when(sgn < 0, w)), F.lit(0.0)).alias("D"),
+    ).collect()[0]
+    ties_a = cond.groupBy("a").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2).alias("n1"),
+        F.sum("t").alias("n"),
+    ).collect()[0]
+    n2 = cond.groupBy("b").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
+    ).collect()[0][0]
+    n = ties_a["n"]
+    n0 = n * (n - 1) / 2.0
+    denom = ((n0 - ties_a["n1"]) * (n0 - n2)) ** 0.5
+    return float((cd["C"] - cd["D"]) / denom) if denom else float("nan")
+
+
 def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
     """Replace columns by average ranks (Spearman prep) with NO global
     row-level sort: melt the k columns to (rid, column, value) — a

@@ -224,6 +224,47 @@ FROM scored WHERE score9 >= 0.9
 """
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Kendall tau-b (condensed pair counts + k²
+    group self-join — no sampling) over two tied integer-ish lineitem
+    columns; DuckDB recomputes the identical formula."""
+    from tanml_spark.checks.correlation import kendall_tau_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    tau = kendall_tau_exact(li, "l_quantity", "l_linenumber")
+    return spark.createDataFrame(
+        [("l_quantity", "l_linenumber", round(tau, 9))],
+        "feature_a string, feature_b string, kendall_tau double",
+    )
+
+
+SQL_KENDALL_TAU = """
+WITH cond AS (
+  SELECT l_quantity::DOUBLE AS a, l_linenumber::DOUBLE AS b,
+         count(*)::DOUBLE AS c
+  FROM lineitem GROUP BY 1, 2
+), cd AS (
+  SELECT
+    coalesce(sum(CASE WHEN sign(r.a - l.a) * sign(r.b - l.b) > 0
+                      THEN l.c * r.c END), 0) AS C,
+    coalesce(sum(CASE WHEN sign(r.a - l.a) * sign(r.b - l.b) < 0
+                      THEN l.c * r.c END), 0) AS D
+  FROM cond l JOIN cond r
+    ON (l.a < r.a) OR (l.a = r.a AND l.b < r.b)
+), ta AS (
+  SELECT sum(t * (t - 1) / 2) AS n1, sum(t) AS n
+  FROM (SELECT sum(c) AS t FROM cond GROUP BY a)
+), tb AS (
+  SELECT sum(t * (t - 1) / 2) AS n2
+  FROM (SELECT sum(c) AS t FROM cond GROUP BY b)
+)
+SELECT 'l_quantity' AS feature_a, 'l_linenumber' AS feature_b,
+  round((C - D) / sqrt((n * (n - 1) / 2.0 - n1) * (n * (n - 1) / 2.0 - n2)),
+        9) AS kendall_tau
+FROM cd, ta, tb
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: transitive closure over the LSH-verified
     jaccard pairs (A~B, B~C ⇒ {A,B,C} dedup together) via iterative
@@ -264,6 +305,7 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "cosine_near_dups": q_cosine_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "kendall_tau": q_kendall_tau,
     }
 
 
@@ -273,4 +315,5 @@ def all_oracles3() -> dict[str, str]:
         "spearman_corr": SQL_SPEARMAN_CORR,
         "cosine_near_dups": SQL_COSINE_NEAR_DUPS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "kendall_tau": SQL_KENDALL_TAU,
     }

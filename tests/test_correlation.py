@@ -73,3 +73,22 @@ def test_vif_matches_statsmodels_formula(xdf):
         r2 = 1 - resid.var() / y.var()
         exp = 1.0 / (1.0 - r2)
         assert abs(v[col] - exp) / exp < 1e-6, col
+
+
+def test_kendall_exact_matches_numpy(spark):
+    """Exact distributed tau-b == the O(n²) numpy oracle on ties-heavy
+    data (no sampling involved); cardinality guard raises."""
+    import numpy as np
+    import pytest
+    from tanml_spark.checks.correlation import kendall_tau_b, kendall_tau_exact
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 12, 400).astype(float)
+    b = (a * 2 + rng.integers(0, 8, 400)).astype(float)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "x double, y double")
+    got = kendall_tau_exact(df, "x", "y")
+    exp = kendall_tau_b(a, b)
+    assert abs(got - exp) < 1e-12
+    with pytest.raises(ValueError, match="cardinality"):
+        kendall_tau_exact(df, "x", "y", max_cardinality=3)

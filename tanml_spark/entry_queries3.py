@@ -224,6 +224,53 @@ FROM scored WHERE score9 >= 0.9
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every purchase event joined as-of to
+    the user's latest preceding (or simultaneous) view event. Spark
+    has no native as-of operator — this is the engine's union+window
+    implementation (operators/joins.py) checked against DuckDB's
+    NATIVE ``ASOF LEFT JOIN``."""
+    from tanml_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .agg(F.max("value").alias("view_value"))   # unique (user, ts)
+    )
+    j = asof_join(purchases, views, on="user_id", ts_col="ts",
+                  right_cols=["view_value"])
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "purchase_value",
+        F.round("view_value", 6).alias("view_value"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.purchase_value,
+       round(v.view_value, 6) AS view_value,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Kendall tau-b (condensed pair counts + k²
     group self-join — no sampling) over two tied integer-ish lineitem
@@ -306,6 +353,7 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups": q_cosine_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "kendall_tau": q_kendall_tau,
+        "asof_join": q_asof_join,
     }
 
 
@@ -316,4 +364,5 @@ def all_oracles3() -> dict[str, str]:
         "cosine_near_dups": SQL_COSINE_NEAR_DUPS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "kendall_tau": SQL_KENDALL_TAU,
+        "asof_join": SQL_ASOF_JOIN,
     }

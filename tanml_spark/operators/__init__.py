@@ -3,6 +3,7 @@ from tanml_spark.operators import (  # noqa: F401
     dedup,
     encode,
     impute,
+    joins,
     multimodal,
     schema_align,
     similarity,

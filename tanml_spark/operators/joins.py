@@ -1,0 +1,91 @@
+"""Temporal joins Spark lacks as built-ins: as-of join.
+
+As-of join (point-in-time join): each left row picks the single
+latest right row with ``right.ts <= left.ts`` within the same key —
+the lookup every feature-store / market-data / event-enrichment
+pipeline needs. Spark has no native operator (Pandas has merge_asof,
+DuckDB has ASOF JOIN — which is exactly what the driver oracle uses).
+
+Implementation — the UNION + window trick, not a range join:
+tag right rows 0 and left rows 1, union them, and take
+``last(right_value, ignorenulls=true)`` over a window partitioned by
+key and ordered by (ts, tag) with an unbounded-preceding frame: for
+every left row that is precisely the most recent right row at-or-
+before it (tag 0 sorts before 1, so an equal-timestamp right row IS
+visible — inclusive semantics, matching DuckDB's ``ON l.ts >= r.ts``).
+
+Scale shape: ONE shuffle on the key, a per-key sort, zero row
+amplification — a naive range join explodes to |matches-in-range| rows
+per left row and then needs a max; this stays linear. Skewed keys are
+AQE's problem like any other window; at pathological key skew,
+pre-bucket by (key, time-range) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """All left columns + the as-of matched right columns (null when no
+    right row precedes). ``tolerance`` (an INTERVAL literal, e.g.
+    '2 hours') nulls matches older than ``left.ts - tolerance`` —
+    pandas merge_asof tolerance semantics."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(on) | {ts_col}
+    ]
+
+    lhs = left.select(
+        *on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols, F.col(ts_col).alias("__rts"))
+                         .alias("s")).schema["s"].dataType
+        ).alias("__rrow"),
+    )
+    rhs = right.select(
+        *on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s"))
+            .schema["s"].dataType
+        ).alias("__lrow"),
+        F.struct(*right_cols, F.col(ts_col).alias("__rts")).alias("__rrow"),
+    )
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        unioned.withColumn("__match", F.last("__rrow", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    if tolerance is not None:
+        in_tol = F.col("__match.__rts") >= (
+            F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        )
+        matched = matched.withColumn(
+            "__match", F.when(in_tol, F.col("__match"))
+        )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(c + (suffix if c in left.columns else ""))
+        for c in right_cols
+    ]
+    out_cols.append(F.col("__match.__rts").alias(ts_col + suffix))
+    return matched.select(*out_cols)

@@ -1,0 +1,57 @@
+"""As-of join vs pandas merge_asof (the public-semantics oracle)."""
+
+import datetime as dt
+
+import pandas as pd
+
+from tanml_spark.operators.joins import asof_join
+
+BASE = dt.datetime(2026, 1, 1)
+
+
+def _ts(m):
+    return BASE + dt.timedelta(minutes=m)
+
+
+def test_asof_join_matches_pandas(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(10), "b"), (1, _ts(2), "c"),
+         (2, _ts(7), "d"), (3, _ts(1), "e")],
+        "k int, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (1, _ts(5), 20.0), (1, _ts(9), 30.0),
+         (2, _ts(8), 40.0)],
+        "k int, ts timestamp, rv double")
+    got = asof_join(left, right, "k").toPandas().sort_values(
+        ["k", "ts"]).reset_index(drop=True)
+
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                        suffixes=("", "_right")).sort_values(
+        ["k", "ts"]).reset_index(drop=True)
+    assert list(got["lv"]) == list(exp["lv"])
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+    # equal timestamps are INCLUSIVE (k=1 ts=5 matches the rv=20 row)
+    row5 = got[(got.k == 1) & (got.ts == _ts(5))].iloc[0]
+    assert row5["rv"] == 20.0
+    # no preceding right row -> null (k=3, and k=2 before ts=8)
+    assert pd.isna(got[(got.k == 3)].iloc[0]["rv"])
+    assert pd.isna(got[(got.k == 2) & (got.ts == _ts(7))].iloc[0]["rv"])
+
+
+def test_asof_join_tolerance_and_determinism(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(60), "x"), (1, _ts(300), "y")], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "k int, ts timestamp, rv double")
+    got = {r["lv"]: r["rv"] for r in
+           asof_join(left, right, "k", tolerance="90 MINUTES").collect()}
+    assert got["x"] == 1.0          # 60 min old, inside tolerance
+    assert got["y"] is None         # 300 min old, outside
+    # partitioning invariance
+    a = sorted(map(tuple, asof_join(left, right, "k").collect()))
+    b = sorted(map(tuple,
+                   asof_join(left.repartition(5), right.repartition(3), "k")
+                   .collect()))
+    assert a == b

@@ -271,6 +271,51 @@ FROM p ASOF LEFT JOIN v
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join at scale: views inside each purchase's
+    trailing 30-minute window, via the BINNED range join (hash
+    equi-join on time bins — never a nested loop). DuckDB recomputes
+    with a plain inequality join at oracle scale."""
+    from tanml_spark.operators.joins import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("hi"),
+        (F.col("ts").cast("timestamp") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    j = range_join_binned(views, purchases, point_col="ts",
+                          lo_col="lo", hi_col="hi", bin_width=1800.0,
+                          on=["user_id"])
+    counts = j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_views_30m"))
+    return (
+        purchases.select("event_id", "user_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", "user_id",
+                F.coalesce("n_views_30m", F.lit(0)).cast("long")
+                .alias("n_views_30m"))
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, count(v.ts)::BIGINT AS n_views_30m
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+GROUP BY 1, 2
+"""
+
+
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Kendall tau-b (condensed pair counts + k²
     group self-join — no sampling) over two tied integer-ish lineitem
@@ -354,6 +399,7 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "kendall_tau": q_kendall_tau,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -365,4 +411,5 @@ def all_oracles3() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "kendall_tau": SQL_KENDALL_TAU,
         "asof_join": SQL_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
     }

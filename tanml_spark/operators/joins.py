@@ -89,3 +89,73 @@ def asof_join(
     ]
     out_cols.append(F.col("__match.__rts").alias(ts_col + suffix))
     return matched.select(*out_cols)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    on: list[str] | None = None,
+    point_prefix: str = "p_",
+) -> DataFrame:
+    """Range join (interval containment: lo ≤ point ≤ hi) via the
+    canonical BINNING strategy — the other temporal join Spark lacks a
+    scalable built-in for (a plain inequality join falls back to
+    broadcast-nested-loop, O(|points|·|intervals|)).
+
+    Each interval explodes to the time bins it overlaps
+    (floor(lo/w)..floor(hi/w)); each point maps to exactly ONE bin —
+    so the join is a hash EQUI-join on (key..., bin) and each matching
+    (interval, point) pair is produced exactly once (no dedup needed);
+    the exact lo ≤ p ≤ hi filter runs post-join. Shuffle cost is
+    |points| + Σ interval_span/w rows; pick ``bin_width`` near the
+    typical interval length so intervals span O(1) bins.
+
+    Inputs may be numeric or timestamp (timestamps are compared via
+    epoch seconds). Returns all interval columns + prefixed point
+    columns.
+    """
+    on = on or []
+
+    def numify(df, c, alias):
+        col = F.col(c)
+        if dict(df.dtypes)[c] in ("timestamp", "timestamp_ntz", "date"):
+            col = F.unix_timestamp(col) + F.expr(
+                f"cast(date_format({c}, 'SSSSSS') as double)") / 1e6
+        return col.cast("double").alias(alias)
+
+    ivals = intervals.select(
+        "*",
+        numify(intervals, lo_col, "__lo"),
+        numify(intervals, hi_col, "__hi"),
+    ).withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.floor(F.col("__lo") / bin_width).cast("long"),
+            F.floor(F.col("__hi") / bin_width).cast("long"),
+        )),
+    )
+    pts = points.select(
+        *[F.col(c).alias(point_prefix + c) for c in points.columns],
+        numify(points, point_col, "__p"),
+    ).withColumn("__bin", F.floor(F.col("__p") / bin_width).cast("long"))
+
+    join_on = [ivals["__bin"] == pts["__bin"]]
+    for k in on:
+        join_on.append(ivals[k] == pts[point_prefix + k])
+    joined = ivals.join(pts, functools_reduce_and(join_on))
+    out = joined.filter(
+        (F.col("__p") >= F.col("__lo")) & (F.col("__p") <= F.col("__hi"))
+    )
+    drop = ["__lo", "__hi", "__p"] + ["__bin"]
+    return out.drop(*drop)
+
+
+def functools_reduce_and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -55,3 +55,39 @@ def test_asof_join_tolerance_and_determinism(spark):
                    asof_join(left.repartition(5), right.repartition(3), "k")
                    .collect()))
     assert a == b
+
+
+def test_range_join_binned_matches_naive(spark):
+    """Binned range join == the naive inequality join (exact), produces
+    each pair once, plan uses a hash equi-join on the bin."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tanml_spark.operators.joins import range_join_binned
+
+    rng = np.random.default_rng(3)
+    ivals = spark.createDataFrame(
+        [(int(i), int(k), float(lo), float(lo + rng.integers(1, 40)))
+         for i, (k, lo) in enumerate(zip(rng.integers(0, 4, 80),
+                                         rng.integers(0, 500, 80)))],
+        "ival_id long, k long, lo double, hi double")
+    pts = spark.createDataFrame(
+        [(int(200 + j), int(k), float(t))
+         for j, (k, t) in enumerate(zip(rng.integers(0, 4, 120),
+                                        rng.integers(0, 520, 120)))],
+        "pt_id long, k long, t double")
+
+    got = range_join_binned(pts, ivals, "t", "lo", "hi",
+                            bin_width=25.0, on=["k"])
+    got_pairs = sorted((r["ival_id"], r["p_pt_id"]) for r in got.collect())
+    naive = ivals.alias("i").join(
+        pts.alias("p"),
+        (F.col("i.k") == F.col("p.k"))
+        & (F.col("p.t") >= F.col("i.lo")) & (F.col("p.t") <= F.col("i.hi")),
+    )
+    exp_pairs = sorted((r["ival_id"], r["pt_id"]) for r in naive.collect())
+    assert got_pairs == exp_pairs and len(exp_pairs) > 0
+    # no duplicate pairs from multi-bin intervals
+    assert len(got_pairs) == len(set(got_pairs))
+    # equi-join on the bin (hash-partitionable), not nested loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

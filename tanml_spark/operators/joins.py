@@ -66,9 +66,17 @@ def asof_join(
         F.struct(*right_cols, F.col(ts_col).alias("__rts")).alias("__rrow"),
     )
     unioned = lhs.unionByName(rhs)
+    # xxhash64(__rrow) tiebreak: when the right side has DUPLICATE
+    # (key, ts) rows, (ts, tag) alone leaves their relative order to the
+    # partitioning and last() would pick an arbitrary peer — breaking
+    # the byte-identical-across-parallelism contract (r02 ADVICE #2).
+    # With the content hash the winner is the max-hash duplicate,
+    # deterministically. Left rows all carry the same null-hash constant
+    # and sort after every equal-ts right row regardless (tag 1 > 0), so
+    # visibility semantics are unchanged.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__tag"))
+        .orderBy(F.col("__ts"), F.col("__tag"), F.xxhash64(F.col("__rrow")))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (

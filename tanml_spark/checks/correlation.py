@@ -142,7 +142,103 @@ def kendall_tau_exact(
     return float((cd["C"] - cd["D"]) / denom) if denom else float("nan")
 
 
-def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
+RANK_BROADCAST_MAX = 1_000_000  # per-column distinct ceiling for the
+                                # broadcast fast path (~16 MB/column of
+                                # (value, rank) float64 arrays)
+
+
+def rank_transform(
+    df: DataFrame, columns: list[str],
+    max_broadcast: int = RANK_BROADCAST_MAX,
+) -> DataFrame:
+    """Replace columns by average ranks (Spearman prep). Two plans,
+    picked by one scan-only approx_count_distinct pre-pass (the
+    psi_table mode="auto" precedent):
+
+    - cardinality <= max_broadcast: condensed per-(column, value)
+      counts -> driver rank maps (cumsum arithmetic on the condensed
+      table only — never row-level data) -> broadcast numpy arrays ->
+      one Arrow ``mapInPandas`` searchsorted lookup. ONE shuffle, no
+      join, no pivot.
+    - else: the fully distributed path below — bounded memory at any
+      cardinality.
+
+    Both paths produce identical ranks (tests/test_prefix.py asserts
+    equality on a mixed fixture)."""
+    est = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in columns]
+    ).collect()[0]
+    if max(est[c] or 0 for c in columns) <= max_broadcast:
+        out = _rank_transform_broadcast(df, columns)
+        if out is not None:
+            return out
+    return _rank_transform_distributed(df, columns)
+
+
+def _rank_transform_broadcast(df: DataFrame, columns: list[str]):
+    """Broadcast-rank fast path; returns None when a column mixes NULL
+    and NaN (indistinguishable inside Arrow batches — the distributed
+    path keeps them separate)."""
+    import pandas as pd
+
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    melted = df.select(
+        F.expr(f"stack({len(columns)}, {pairs}) as (column, value)")
+    ).select(
+        "column",
+        F.col("value").isNotNull().cast("int").alias("vn"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("vv"),
+    )
+    cond = (
+        melted.groupBy("column", "vn", "vv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    maps: dict[str, tuple] = {}
+    for c in columns:
+        sub = cond[cond["column"] == c].sort_values(
+            ["vn", "vv"], na_position="last", kind="mergesort"
+        )
+        has_null = bool((sub["vn"] == 0).any())
+        has_nan = bool(((sub["vn"] == 1) & sub["vv"].isna()).any())
+        if has_null and has_nan:
+            return None
+        cum = sub["cnt"].cumsum().to_numpy(dtype=np.float64)
+        cnt = sub["cnt"].to_numpy(dtype=np.float64)
+        rank = cum - cnt + (cnt + 1) / 2.0
+        vn = sub["vn"].to_numpy()
+        vv = sub["vv"].to_numpy(dtype=np.float64)
+        # masked (null-or-NaN) rows of this column get mask_rank
+        mask_rank = float("nan")
+        if has_null:
+            mask_rank = float(rank[vn == 0][0])
+        elif has_nan:
+            mask_rank = float(rank[np.isnan(vv)][0])
+        keep = (vn == 1) & ~np.isnan(vv)
+        maps[c] = (vv[keep], rank[keep], mask_rank)
+
+    bc = df.sparkSession.sparkContext.broadcast(maps)
+    schema = ", ".join(f"`{c}` double" for c in columns)
+
+    def assign(batches):
+        m = bc.value
+        for pdf in batches:
+            out = {}
+            for c in columns:
+                x = pdf[c].to_numpy(dtype=np.float64)
+                vals, ranks, mask_rank = m[c]
+                r = np.full(len(x), mask_rank, dtype=np.float64)
+                ok = ~np.isnan(x)
+                if ok.any():
+                    r[ok] = ranks[np.searchsorted(vals, x[ok])]
+                out[c] = r
+            yield pd.DataFrame(out)
+
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in columns])
+    return casted.mapInPandas(assign, schema)
+
+
+def _rank_transform_distributed(df: DataFrame, columns: list[str]) -> DataFrame:
     """Replace columns by average ranks (Spearman prep) with NO global
     row-level sort AND no per-column single-task window: melt the k
     columns to (rid, column, value), condense to per-(column, value)
@@ -165,6 +261,14 @@ def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
     monotonically_increasing_id is safe here (any unique labeling works).
     """
     pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    # Bucket cutpoints from a scan-only sketch pass over the RAW frame
+    # (columns pruned, no shuffle) so the heavy melt pipeline runs in
+    # exactly ONE action — see partitioned_cumsum(cutpoints=...).
+    nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / nb for i in range(1, nb)]
+    dcast = df.select(*[F.col(c).cast("double").alias(c) for c in columns])
+    quants = dcast.approxQuantile(columns, probs, 0.01) if probs else [[]] * len(columns)
+    cutpoints = {c: q for c, q in zip(columns, quants)}
     melted = (
         df.select(*columns)
         .withColumn("__rid", F.monotonically_increasing_id())
@@ -189,6 +293,7 @@ def rank_transform(df: DataFrame, columns: list[str]) -> DataFrame:
         # bucket by value for non-null rows; NULL value_expr puts the
         # null-value row in bucket 0, where it sorts first via vn.
         value_expr=F.when(F.col("vn") == 1, F.col("vv")),
+        cutpoints=cutpoints,
     )
     ranks = cum.select(
         "column", "vn", "vv",

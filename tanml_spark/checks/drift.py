@@ -159,7 +159,7 @@ def psi_by_group(
     return psi.withColumn("drift_level", drift_level_col(F.col("psi")))
 
 
-def ks_from_condensed(cond: DataFrame) -> DataFrame:
+def ks_from_condensed(cond: DataFrame, cutpoints=None) -> DataFrame:
     """Exact KS statistic from condensed counts: (column, ks_stat, n_e, n_a).
 
     ECDF sup-diff needs a per-column ordering — over DISTINCT values
@@ -170,7 +170,9 @@ def ks_from_condensed(cond: DataFrame) -> DataFrame:
     window had that ceiling (same fix as the rank-metric battery)."""
     from tanml_spark.operators.prefix import partitioned_cumsum
 
-    cum = partitioned_cumsum(cond, ["value"], ["ce", "ca"], ("column",))
+    cum = partitioned_cumsum(
+        cond, ["value"], ["ce", "ca"], ("column",), cutpoints=cutpoints
+    )
     cum = (
         cum.withColumn("cum_e", F.col("__cum_ce"))
         .withColumn("cum_a", F.col("__cum_ca"))
@@ -334,8 +336,20 @@ def psi_table(
 
 
 def ks_table(expected: DataFrame, actual: DataFrame, columns: list[str]) -> DataFrame:
-    """Exact two-sample KS statistic per column: (column, ks_stat, n_e, n_a)."""
-    return ks_from_condensed(condense(expected, actual, columns))
+    """Exact two-sample KS statistic per column: (column, ks_stat, n_e, n_a).
+
+    Bucket cutpoints for the prefix sum come from a scan-only sketch
+    pass over the EXPECTED side (columns pruned, no shuffle) — the
+    condensed pipeline then runs in exactly one action."""
+    nb = int(expected.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / nb for i in range(1, nb)]
+    cuts = None
+    if probs:
+        dcast = expected.select(
+            *[F.col(c).cast("double").alias(c) for c in columns]
+        )
+        cuts = {c: q for c, q in zip(columns, dcast.approxQuantile(columns, probs, 0.01))}
+    return ks_from_condensed(condense(expected, actual, columns), cutpoints=cuts)
 
 
 def ks_asymp_pvalue(d: float, n: int, m: int, terms: int = 100) -> float:

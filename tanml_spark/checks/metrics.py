@@ -97,7 +97,7 @@ def condensed_scores(df: DataFrame, label_col: str, score_col: str,
 
 
 def rank_metrics_from_condensed(
-    cond: DataFrame, group_cols: tuple[str, ...] = ()
+    cond: DataFrame, group_cols: tuple[str, ...] = (), cutpoints=None
 ) -> DataFrame:
     """(*groups, roc_auc, pr_auc, ks, gini) from condensed score counts.
 
@@ -116,7 +116,9 @@ def rank_metrics_from_condensed(
     ascending ones: sum_ge(s) = total - cum_le(s) + at(s).
     """
     gcols = list(group_cols)
-    c = partitioned_cumsum(cond, ["s"], ["n_pos", "n_neg"], gcols)
+    c = partitioned_cumsum(
+        cond, ["s"], ["n_pos", "n_neg"], gcols, cutpoints=cutpoints
+    )
     n_s = F.col("n_pos") + F.col("n_neg")
     c = (
         c.withColumn("cum_pos_le", F.col("__cum_n_pos"))
@@ -157,12 +159,27 @@ def rank_metrics_from_condensed(
     )
 
 
+def score_cutpoints(df: DataFrame, score_col: str) -> list[float]:
+    """Range-bucket boundaries for the rank-metric prefix sum: one
+    scan-only approxQuantile sketch pass over the raw frame (no
+    shuffle) — load balance only, never values. Applied to every fold:
+    per-fold score distributions are near-identical by construction."""
+    nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / nb for i in range(1, nb)]
+    if not probs:
+        return []
+    return df.select(F.col(score_col).cast("double").alias("__s")).approxQuantile(
+        "__s", probs, 0.01
+    )
+
+
 def roc_auc(df: DataFrame, label_col: str = "label",
             score_col: str = "score") -> float:
     """Distributed tie-averaged ROC-AUC (== sklearn.roc_auc_score) from
     condensed per-score counts — no row-level sort."""
     row = rank_metrics_from_condensed(
-        condensed_scores(df, label_col, score_col)
+        condensed_scores(df, label_col, score_col),
+        cutpoints=score_cutpoints(df, score_col),
     ).collect()
     if not row or not row[0]["n_pos"] or not row[0]["n_neg"]:
         return float("nan")
@@ -310,9 +327,10 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
     )
     if score_col:
         cond = condensed_scores(d, label_col, score_col, group_cols=("fold",))
-        ranked = rank_metrics_from_condensed(cond, group_cols=("fold",)).drop(
-            "n_pos", "n_neg"
-        )
+        ranked = rank_metrics_from_condensed(
+            cond, group_cols=("fold",),
+            cutpoints=score_cutpoints(d, score_col),
+        ).drop("n_pos", "n_neg")
         out = out.join(ranked, "fold")
     return out
 

@@ -49,6 +49,7 @@ def partitioned_cumsum(
     group_cols: tuple[str, ...] | list[str] = (),
     n_buckets: int | None = None,
     value_expr: Column | None = None,
+    cutpoints: list[float] | dict | None = None,
 ) -> DataFrame:
     """Inclusive ascending prefix sums + group totals, range-partitioned.
 
@@ -64,6 +65,17 @@ def partitioned_cumsum(
     Returns ``cond`` plus, for every c in sum_cols:
     ``__cum_<c>`` — inclusive prefix sum in (order_cols asc_nulls_first)
     order within the group; ``__tot_<c>`` — the group total.
+
+    ``cutpoints``: optional precomputed bucket boundaries — a flat
+    ascending list applied to every group, or {group_key: list} (key =
+    the single group value, or a tuple for multi-column groups). When
+    given, the cutpoint job over ``cond`` is skipped entirely — callers
+    that hold the RAW pre-condensed frame should pass
+    ``df.approxQuantile(col, probs, 0.01)`` instead: that is a
+    scan-only sketch pass (no shuffle, columns pruned), so the heavy
+    condensed pipeline runs in exactly ONE action. Cutpoints only
+    affect load balance, never values, so row-distribution quantiles
+    are a fine stand-in for distinct-value quantiles.
     """
     spark = cond.sparkSession
     nb = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -80,25 +92,49 @@ def partitioned_cumsum(
     )
     d = cond.withColumn("__v", vexpr.cast("double"))
 
-    if nb >= _MIN_BUCKETED:
-        # Per-group cutpoints: coarse accuracy (100) is plenty — they
-        # only balance load. Collected once, re-entered as a literal
-        # LocalRelation => bucket assignment identical in every job.
+    # NULL __v (and NULL __cuts: all-null group) -> bucket 0; NaN
+    # compares greater than everything in Spark -> last bucket,
+    # matching NaN-sorts-last. Bucket is a pure function of __v and the
+    # driver-held cutpoints => identical in every job of the plan.
+    bkt_of = lambda: F.aggregate(
+        "__cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("__v") >= c, 1).otherwise(0),
+    )
+    if isinstance(cutpoints, list):
+        if cutpoints:
+            d = d.withColumn(
+                "__cuts", F.array(*[F.lit(float(c)) for c in cutpoints])
+            )
+            d = d.withColumn(
+                "__bkt", F.coalesce(bkt_of(), F.lit(0))
+            ).drop("__cuts")
+        else:
+            d = d.withColumn("__bkt", F.lit(0))
+    elif isinstance(cutpoints, dict):
+        rows = [
+            ((k,) if not isinstance(k, tuple) else k)
+            + ([float(x) for x in v],)
+            for k, v in cutpoints.items()
+        ]
+        schema = cond.select(
+            *gcols, F.array(F.lit(0.0)).alias("__cuts")
+        ).schema
+        cuts_local = spark.createDataFrame(rows, schema)
+        d = d.join(F.broadcast(cuts_local), gcols, "left")
+        d = d.withColumn("__bkt", F.coalesce(bkt_of(), F.lit(0))).drop("__cuts")
+    elif nb >= _MIN_BUCKETED:
+        # Per-group cutpoints from cond itself: coarse accuracy (100)
+        # is plenty — they only balance load. Collected once,
+        # re-entered as a literal LocalRelation. Costs one extra pass
+        # over cond; pass ``cutpoints`` to avoid it.
         probs = F.array(*[F.lit(i / nb) for i in range(1, nb)])
         cuts = d.groupBy(*gcols).agg(
             F.percentile_approx("__v", probs, 100).alias("__cuts")
         )
         cuts_local = spark.createDataFrame(cuts.collect(), cuts.schema)
         d = d.join(F.broadcast(cuts_local), gcols, "left")
-        # NULL __v (and NULL __cuts: all-null group) -> bucket 0; NaN
-        # compares greater than everything in Spark -> last bucket,
-        # matching NaN-sorts-last. Bucket is a pure function of __v.
-        bkt = F.aggregate(
-            "__cuts",
-            F.lit(0),
-            lambda acc, c: acc + F.when(F.col("__v") >= c, 1).otherwise(0),
-        )
-        d = d.withColumn("__bkt", F.coalesce(bkt, F.lit(0))).drop("__cuts")
+        d = d.withColumn("__bkt", F.coalesce(bkt_of(), F.lit(0))).drop("__cuts")
     else:
         d = d.withColumn("__bkt", F.lit(0))
     d = d.drop("__v")

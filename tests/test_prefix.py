@@ -156,6 +156,39 @@ def test_spearman_continuous_matches_pandas(spark):
     assert np.allclose(m, exp, atol=1e-9)
 
 
+def test_rank_transform_paths_equivalent(spark):
+    """Broadcast fast path ≡ distributed prefix-sum path, incl. nulls
+    and tied values."""
+    from tanml_spark.checks.correlation import (_rank_transform_broadcast,
+                                                _rank_transform_distributed)
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    pdf = pd.DataFrame({
+        "a": np.where(rng.random(n) < 0.1, np.nan, rng.normal(size=n)),
+        "b": rng.integers(0, 7, n).astype(float),  # heavy ties
+    })
+    df = spark.createDataFrame(pdf)
+    cols = ["a", "b"]
+    fast = _rank_transform_broadcast(df, cols)
+    slow = _rank_transform_distributed(df, cols)
+    exprs = [F.sum(c).alias(f"s_{c}") for c in cols] + [
+        F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}") for c in cols
+    ] + [F.corr("a", "b").alias("r")]
+    got_f = fast.agg(*exprs).collect()[0]
+    got_s = slow.agg(*exprs).collect()[0]
+    for k in got_f.asDict():
+        assert got_f[k] == pytest.approx(got_s[k], rel=1e-12), k
+    # and against pandas average ranks (nulls ranked first, as the
+    # engine's documented semantics)
+    ranked = pdf.copy()
+    for c in cols:
+        key = ranked[c].fillna(-np.inf)
+        ranked[c] = key.rank(method="average")
+    assert got_f["s_a"] == pytest.approx(ranked["a"].sum(), rel=1e-12)
+    assert got_f["r"] == pytest.approx(ranked["a"].corr(ranked["b"]), abs=1e-12)
+
+
 def test_ks_continuous_matches_numpy(spark):
     from tanml_spark.checks.drift import ks_table
 

@@ -1,76 +1,105 @@
 #!/usr/bin/env python
-"""Physical-plan audit over every driver-contract query → PLANS.md.
+"""Physical-plan + EXECUTED-STAGE audit over every driver query → PLANS.md.
 
-For each query in __spark_entry__.queries() (at sf0.01), captures the
-executed plan and reports the scale-relevant facts the judge checks by
-hand: shuffle (Exchange) count and their partitioning keys, whether any
-exchange is single-partition (the classic scale-killer — allowed only
-on cardinality-bounded condensed tables, flagged otherwise), broadcast
-joins, whole-stage-codegen coverage, and parquet PushedFilters /
-ReadSchema (predicate pushdown + column pruning evidence).
+r02 closed gap: the old audit explained only the RETURNED DataFrame, so
+eager queries (spearman_corr, kendall_tau, dedup_clusters, corr_pairs,
+leakage_overlap, iqr_outliers) that do their heavy work inside q() and
+return a driver-built frame showed "0 shuffles" — a LocalTableScan
+presented as a clean bill (r02 VERDICT #2 / ADVICE #3). This version
+audits what actually RAN: each query executes under its own Spark job
+group, and the audit pulls the executed stages of exactly those jobs
+from the Spark UI REST API (numTasks, shuffle read/write, input bytes).
+
+Per query it reports, from EXECUTION (not the plan):
+- jobs / stages run, total shuffle write;
+- single-task stages and the max bytes (input + shuffle read) any
+  single-task stage consumed — THE scale-killer signal: a 1-task stage
+  that eats megabytes at sf0.01 would eat the whole table at corpus
+  scale. Tiny 1-task stages (final aggs of condensed/metric-sized data,
+  driver-local fixtures) are normal and pass.
+Plus, from the returned frame's plan: broadcast joins, codegen stages,
+parquet PushedFilters (pushdown/pruning evidence).
+
+Flag rule: any single-task stage with input+shuffleRead >
+SINGLE_TASK_BYTES_MAX (4 MB at sf0.01 — every condensed/metric table in
+the engine is well under 1 MB there; row-level tables are 10-100 MB).
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
+import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# queries whose plan legitimately contains a single-partition exchange:
-# the input to that exchange is a condensed/metric-sized table (distinct
-# scores, k×k matrix rows, 1-row aggs), never row-level data.
-SINGLE_PARTITION_OK = {
-    "ks": "window over DISTINCT (column,value) counts — cardinality-bounded",
-    "drift_verdict": "same condensed-ECDF window as ks",
-    "psi": "1-row final agg",
-    "corr_pairs": "k(k-1)/2-row stack of one fused agg row",
-    "spearman_corr": "3-row driver-built result (ranks themselves are key-partitioned)",
-    "cv_metrics": "5-fold output rows; rank windows are hashpartitioning(fold)",
-    "cube_profile": "final tiny rollup rows",
-    "leakage_overlap": "1-row result",
-    "events_json": "1-row result",
-    "exact_dedup": "1-row result",
-    "duplicate_stats": "1-row result",
-    "iqr_outliers": "1-row result",
-}
+SINGLE_TASK_BYTES_MAX = 4 * 1024 * 1024
 
 
-def audit(name: str, df) -> dict:
+def plan_facts(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"Exchange (\w+)\(([^)]*)\)", plan)
-    # single-partition exchanges: OK when the child is a partial
-    # aggregate (the unavoidable final step of a GLOBAL agg — one
-    # partial row per upstream partition crosses the wire, not data);
-    # suspicious otherwise (e.g. Window over un-partitioned row data).
-    lines = plan.splitlines()
-    single_total, single_bad = 0, 0
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" not in ln:
-            continue
-        single_total += 1
-        child = lines[i + 1] if i + 1 < len(lines) else ""
-        if not ("HashAggregate" in child or "SortAggregate" in child
-                or "partial_" in child):
-            single_bad += 1
-    hashparts = sorted({re.sub(r"#\d+L?", "", keys).split(", ")[0]
-                        for kind, keys in exchanges if kind == "hashpartitioning"})
     n_bcast = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
     n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    pushed_nonempty = [p for p in pushed if p.strip()]
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+              if p.strip()]
     return {
-        "n_exchange": len(exchanges),
-        "single_partition": single_total,
-        "single_partition_nonagg": single_bad,
-        "hash_keys": hashparts[:4],
+        "plan_exchanges": len(exchanges),
         "n_broadcast_joins": n_bcast,
         "codegen_stages": n_codegen,
-        "pushed_filters": len(pushed_nonempty),
+        "pushed_filters": len(pushed),
+    }
+
+
+def rest_stages(ui: str, app_id: str) -> dict[int, dict]:
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        data = json.load(r)
+    out = {}
+    for s in data:
+        # keep the latest attempt per stage id
+        sid = s["stageId"]
+        if sid not in out or s["attemptId"] > out[sid]["attemptId"]:
+            out[sid] = s
+    return out
+
+
+def executed_facts(sc, ui: str, app_id: str, group: str) -> dict:
+    st = sc.statusTracker()
+    job_ids = st.getJobIdsForGroup(group)
+    stage_ids = set()
+    for j in job_ids:
+        info = st.getJobInfo(j)
+        if info:
+            stage_ids.update(info.stageIds)
+    stages = rest_stages(ui, app_id)
+    n_stages = 0
+    shuffle_write = 0
+    single_task = []
+    for sid in stage_ids:
+        s = stages.get(sid)
+        if not s:
+            continue  # skipped stage (reused exchange) — never ran
+        n_stages += 1
+        shuffle_write += s.get("shuffleWriteBytes", 0)
+        if s.get("numTasks") == 1:
+            single_task.append(
+                (s.get("inputBytes", 0) + s.get("shuffleReadBytes", 0),
+                 s.get("name", "")[:60])
+            )
+    single_task.sort(reverse=True)
+    return {
+        "jobs": len(job_ids),
+        "stages": n_stages,
+        "shuffle_write_mb": shuffle_write / 1e6,
+        "single_task_stages": len(single_task),
+        "max_single_task_bytes": single_task[0][0] if single_task else 0,
+        "max_single_task_name": single_task[0][1] if single_task else "",
     }
 
 
@@ -79,54 +108,82 @@ def main() -> None:
     from tanml_spark.session import get_spark
     import __spark_entry__ as entry
 
-    spark = get_spark("plan_audit", cores=8)
+    spark = get_spark(
+        "plan_audit", cores=8,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4049",
+            # AQE partition coalescing folds SMALL shuffles to 1 task,
+            # which would make "1-task stage" meaningless as a scale
+            # signal at audit SF. With coalescing off, task counts
+            # reflect the DECLARED partitioning: a 1-task stage is a
+            # semantic single partition, exactly what we're hunting.
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    sc = spark.sparkContext
+    ui = "http://localhost:4049"
+    app_id = sc.applicationId
+
     rows = []
     flagged = []
     for name, q in sorted(entry.queries().items()):
+        sc.setJobGroup(name, name, interruptOnCancel=False)
         try:
             df = q(spark, sf_dir)
-            a = audit(name, df)
+            df.collect()
+            pf = plan_facts(df)
+            ef = executed_facts(sc, ui, app_id, name)
         except Exception as exc:  # noqa: BLE001
             rows.append((name, f"ERROR: {exc}"))
             continue
-        ok = a["single_partition_nonagg"] == 0 or name in SINGLE_PARTITION_OK
+        finally:
+            sc.setJobGroup("", "")
+        ok = ef["max_single_task_bytes"] <= SINGLE_TASK_BYTES_MAX
         if not ok:
             flagged.append(name)
-        rows.append((name, a, ok))
+        rows.append((name, pf, ef, ok))
 
     lines = [
-        "# PLANS — physical-plan audit of every driver query",
+        "# PLANS — executed-stage audit of every driver query",
         "",
-        f"Generated by `scripts/plan_audit.py` at {sf_dir}. Columns:",
-        "shuffles (Exchange nodes), single-partition exchanges (scale-",
-        "killer unless the exchanged table is cardinality-bounded — the",
-        "Notes column justifies each allowed one), broadcast joins,",
-        "whole-stage-codegen stages (lower bound: AQE shows codegen ids",
-        "only for already-executed stages), parquet scans with non-empty",
-        "PushedFilters.",
+        f"Generated by `scripts/plan_audit.py` at {sf_dir}. Unlike the",
+        "r02 audit (which explained only the RETURNED DataFrame and was",
+        "blind to work done eagerly inside a query), every number here",
+        "comes from the stages that actually EXECUTED under the query's",
+        "job group, via the Spark UI REST API.",
         "",
-        "| query | shuffles | single-part (global-agg final / other) | bcast joins | codegen stages | pushed-filter scans | verdict | notes |",
-        "|---|---|---|---|---|---|---|---|",
+        "- **1-task stages**: count of executed stages with numTasks=1,",
+        "  and the max bytes (input + shuffle read) any of them consumed.",
+        "  Final global aggs over condensed/metric-sized tables are",
+        "  expected; a 1-task stage is flagged when it consumed >",
+        f"  {SINGLE_TASK_BYTES_MAX // (1024 * 1024)} MB at sf0.01 — the",
+        "  threshold sits ~10x above the engine's largest legitimate",
+        "  condensed table at this SF and ~10x below row-level size.",
+        "- **shuffles/plan** counts Exchange nodes in the returned",
+        "  frame's plan (0 for driver-built results — the executed",
+        "  columns are the evidence there).",
+        "",
+        "| query | jobs | stages | shuffle write MB | 1-task stages | max 1-task bytes | heaviest 1-task stage | plan: shuffles / bcast / codegen / pushed | verdict |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for item in rows:
         if len(item) == 2:
-            lines.append(f"| {item[0]} | — | — | — | — | — | ERROR | {item[1]} |")
+            lines.append(f"| {item[0]} | — | — | — | — | — | — | — | ERROR: {item[1]} |")
             continue
-        name, a, ok = item
-        note = SINGLE_PARTITION_OK.get(name, "") if a["single_partition_nonagg"] else ""
-        sp = f"{a['single_partition'] - a['single_partition_nonagg']} / {a['single_partition_nonagg']}"
+        name, pf, ef, ok = item
         lines.append(
-            f"| {name} | {a['n_exchange']} | {sp} | "
-            f"{a['n_broadcast_joins']} | {a['codegen_stages']} | "
-            f"{a['pushed_filters']} | {'OK' if ok else '**FLAG**'} | {note} |"
+            f"| {name} | {ef['jobs']} | {ef['stages']} | "
+            f"{ef['shuffle_write_mb']:.2f} | {ef['single_task_stages']} | "
+            f"{ef['max_single_task_bytes']:,} | {ef['max_single_task_name']} | "
+            f"{pf['plan_exchanges']} / {pf['n_broadcast_joins']} / "
+            f"{pf['codegen_stages']} / {pf['pushed_filters']} | "
+            f"{'OK' if ok else '**FLAG**'} |"
         )
     lines += [
         "",
-        f"**Flagged (unjustified single-partition exchange): {flagged or 'none'}**",
-        "",
-        "Hash-partitioning keys observed across plans confirm shuffles ride",
-        "on semantic keys (band/bucket, fold, column, id, shingle), never on",
-        "a constant.",
+        f"**Flagged (single-task stage > {SINGLE_TASK_BYTES_MAX // (1024 * 1024)} MB"
+        f" consumed): {flagged or 'none'}**",
     ]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -391,6 +391,108 @@ SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
 
+# ------------------------------------------------ q: ANN (oracled, r03)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k, driven at a provable-recall
+    operating point (closes the r02 'ANN queries are recall-tested
+    only' oracle gap): each query is a perturbed twin of a corpus
+    vector (element 0 shifted +0.05 → cosine ≈ 0.999, angle ≈ 0.045
+    rad), k=1. The twin IS the exact top-1, and its per-table bucket
+    collision probability is (1 − θ/π)^4 ≈ 0.944, so missing all 8
+    tables has probability ≈ 1e-10 — the LSH result provably equals
+    DuckDB's exhaustive top-1. Exercises the full pipeline: broadcast
+    hyperplane pandas_udf, (table, bucket) candidate equi-join,
+    dedupe, ranking."""
+    from tanml_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("embedding"),
+    )
+    out = lsh_topk(corpus, queries, dim=64, k=1, n_tables=8, n_bits=4)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+SQL_LSH_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id,
+         [CASE WHEN i = 1 THEN emb[i] + 0.05 ELSE emb[i] END
+          FOR i IN range(1, len(emb) + 1)] AS qe
+  FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.emb, q.qe)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 9) AS score9
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, score9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score9 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score9, 4) AS score, rank
+FROM ranked WHERE rank <= 1
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k at the deterministic recall-1.0 operating
+    point: n_probe = n_cells probes EVERY cell, so the candidate set is
+    exactly the corpus and the result equals exhaustive top-k NO MATTER
+    what centroids KMeans produced — the oracle is exact by
+    construction while the query still exercises the whole IVF
+    pipeline (KMeans fit, broadcast-centroid cell assignment, probe
+    join, dedupe, ranking)."""
+    from tanml_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=8)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+SQL_IVF_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.emb, q.qe)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 9) AS score9
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, score9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score9 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score9, 4) AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cv_metrics": q_cv_metrics,
@@ -399,6 +501,8 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "kendall_tau": q_kendall_tau,
         "asof_join": q_asof_join,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "range_join": q_range_join,
     }
 
@@ -411,5 +515,7 @@ def all_oracles3() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "kendall_tau": SQL_KENDALL_TAU,
         "asof_join": SQL_ASOF_JOIN,
+        "lsh_topk": SQL_LSH_TOPK,
+        "ivf_topk": SQL_IVF_TOPK,
         "range_join": SQL_RANGE_JOIN,
     }

@@ -45,9 +45,22 @@ def main() -> None:
     )
     r = json.loads(out.stdout.strip().splitlines()[-1])
     s = r["scaling"]
-    eff = r["scaling_efficiency"]
+    eff = r["eff_median"]
     deterministic = r["deterministic"]
-    cal = r["host_cpu_scaling"]
+
+    run_rows = "\n".join(
+        f"| {i + 1} | {run['eff']:.3f} | {run['files_per_sec_low']} | "
+        f"{run['files_per_sec_high']} | {json.dumps(run['host_cpu_scaling'])} |"
+        for i, run in enumerate(s["runs"])
+    )
+    pick = s.get("n_picked_by_calibration")
+    pick_line = (
+        f"picked programmatically from the pre-run calibration "
+        f"{json.dumps(pick)}: the largest N whose N→4N pure-CPU ratio "
+        f"is ≥ 0.9 of ideal on this shared box (rule in bench.py)."
+        if pick is not None
+        else "fixed via $TANML_BENCH_SCALING_LOW."
+    )
 
     md = f"""# BENCH — measured performance
 
@@ -57,13 +70,14 @@ are identical at every parallelism level). Suite: fused grouped
 profile + 25-rule constraint battery incl. a 20-pattern secret-scan
 regex battery (scan 1), condensed IQR+PSI+KS drift statistics
 (scan 2), uniqueness on hash(repo,path,commit) (scan 3), referential
-anti-join (scan 4). Steady-state timing: one untimed warmup pass per
-level, then best of {args.reps} timed runs; the verdict hash is
-asserted identical across reps AND across parallelism levels. All
-numbers come from ONE bench.py invocation — the same harness and
-configuration the driver records in BENCH_rN.json.
+anti-join (scan 4) — the battery is FROZEN since r02 so files/s is
+comparable round-over-round. All numbers come from ONE bench.py
+invocation — the same harness and configuration the driver records in
+BENCH_rN.json.
 
 ## Headline throughput ({args.rows:,} rows)
+
+One untimed warmup, best of {args.reps} timed runs at full parallelism:
 
 | parallelism | suite wall (s) | throughput (files/s) |
 |---|---|---|
@@ -71,29 +85,28 @@ configuration the driver records in BENCH_rN.json.
 
 ## North-rule N→4N scaling ({s['rows']:,} rows, same bytes both levels)
 
-| parallelism | suite wall (s) | throughput (files/s) |
-|---|---|---|
-| local[{s['cpus_low']}]  | {s['suite_sec_low']} | {s['files_per_sec_low']} |
-| local[{s['cpus_high']}] | {s['suite_sec_high']} | {s['files_per_sec_high']} |
+**Methodology (r02 VERDICT #4 / ADVICE #1):** {len(s['runs'])}
+interleaved N→4N pairs, each level in a fresh JVM with an untimed
+warmup, each pair preceded by its OWN host raw-CPU calibration
+snapshot (pure sha256 processes, no Spark). Reported efficiency is the
+**median**, with every per-run value listed. Verdict hashes are
+asserted byte-identical across all runs AND levels.
 
-**Scaling efficiency (N={s['cpus_low']} → 4N={s['cpus_high']}): {eff:.3f}**  (pass bar ≥ 0.8)
+| run | efficiency | files/s @N={s['cpus_low']} | files/s @4N={s['cpus_high']} | same-run host calibration |
+|---|---|---|---|---|
+{run_rows}
 
-**Verdict determinism across parallelism levels:**
+**Median scaling efficiency (N={s['cpus_low']} → 4N={s['cpus_high']}): {eff:.3f}**  (pass bar ≥ 0.8)
+
+**Verdict determinism across runs and parallelism levels:**
 → {"IDENTICAL ✓ (headline sha256 " + r['verdict_sha256'] + ")" if deterministic else "MISMATCH ✗"}
 
-## Why N={s['cpus_low']}: host raw-CPU calibration
+## Why N={s['cpus_low']}
 
-Pure-CPU sha256 loops in separate processes (no Spark, no shared
-memory) measure what N→4N speedup the HOST itself delivers. This is a
-shared/virtualized box (~12% cumulative steal time): raw delivery
-fluctuates minute-to-minute and degrades as more vCPUs are active —
-repeated calibration shows 2→8 typically 0.85-0.99 while 8→32 is
-persistently ~0.65-0.78 regardless of workload, so an 8→32 suite
-comparison would measure the neighbors' load, not the engine.
-Snapshot taken just before this run's suites: {json.dumps(cal)}.
-At N={s['cpus_low']}→{s['cpus_high']} the engine converted the
-host's cycles at **{eff:.3f}** efficiency with byte-identical
-verdicts — the north-rule property under test.
+N was {pick_line}
+An N→4N pair only evidences the ENGINE's scaling where the HOST can
+deliver ~4× the raw cycles; the same-run calibration column above
+shows the host state each efficiency value was measured under.
 
 Per-query timings at {args.sf_dir} (local[{r['cpus']}]):
 ```json
@@ -104,12 +117,13 @@ Per-query timings at {args.sf_dir} (local[{r['cpus']}]):
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
-        "eff": eff,
+        "eff_median": eff,
+        "eff_runs": r["eff_runs"],
         "deterministic": deterministic,
         "fps_headline": r["files_per_sec"],
         "fps_low": s["files_per_sec_low"],
         "fps_high": s["files_per_sec_high"],
-        "host_cpu_scaling": cal,
+        "host_cpu_scaling": r["host_cpu_scaling"],
     }))
 
 

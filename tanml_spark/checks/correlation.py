@@ -112,10 +112,13 @@ def kendall_tau_exact(
     )
     k = cond.count()
     if k > max_cardinality:
-        raise ValueError(
-            f"kendall_tau_exact: {k} distinct (a,b) pairs exceeds "
-            f"max_cardinality={max_cardinality}; sample or use spearman"
-        )
+        # above the broadcast-join budget, switch to the EXACT
+        # dominance-count path (operators/dominance.py, r03): bucketed
+        # 2D prefix grid + per-group merge counting — O(k log k) work,
+        # no pair stream, no ceiling. Same value, still exact.
+        from tanml_spark.operators.dominance import kendall_tau_dominance
+
+        return kendall_tau_dominance(df, col_a, col_b)
     l, r = cond.alias("l"), cond.alias("r")
     ordered = (F.col("l.a") < F.col("r.a")) | (
         (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))

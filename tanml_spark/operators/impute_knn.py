@@ -1,0 +1,178 @@
+"""Distributed KNN imputation — the reference's last preprocessing gap.
+
+Reference: tanml/ui/views/preprocessing.py:150-175 offers sklearn's
+KNNImputer alongside SimpleImputer; rounds 1-2 documented it out of
+scope. This module closes it (r02 VERDICT next-step #8) with sklearn's
+exact semantics re-expressed as DataFrame ops:
+
+- distance: nan-euclidean over the feature columns,
+  d(x, y) = sqrt(n_features / n_present_both * Σ_present (x_i - y_i)²)
+  (sklearn.metrics.pairwise.nan_euclidean_distances), computed JVM-side
+  with ``zip_with``/``aggregate`` over array columns — no Python in the
+  distance path;
+- per missing cell: the UNIFORM mean of that column over the k nearest
+  donors (rows where the column is present); a row with no usable
+  donor falls back to the column mean — sklearn's exact fallback;
+- ties: sklearn's argpartition order is unspecified; we fix (distance,
+  donor_id) ascending, deterministic across parallelism. Parity tests
+  therefore use fixtures without exact distance ties at rank k.
+
+Two candidate-generation strategies:
+
+- ``mode="exact"``: needy rows (any missing target) are broadcast
+  against all donors — exact KNN. Scales when the MISSING side is
+  small (needy × donors pair stream, needy side broadcast); the usual
+  production case for imputation audits.
+- ``mode="lsh"``: sign-LSH buckets over mean-imputed standardized
+  features (the operators/similarity machinery: broadcast numpy
+  hyperplanes in an Arrow pandas_udf) restrict candidates to bucket
+  collisions across ``n_tables`` tables — approximate but fully
+  scalable: every join is a (table, bucket) equi-join with a
+  max-bucket skew guard, never a cross join. Neighbor quality
+  degrades gracefully (near rows collide with high probability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _nan_euclidean(a, b, n_features: int):
+    """JVM expression: nan-euclidean distance between two double arrays
+    (null elements = missing). NULL when no coordinate is shared."""
+    sq = F.zip_with(
+        a, b,
+        lambda x, y: F.when(x.isNotNull() & y.isNotNull(), (x - y) * (x - y)),
+    )
+    present = F.aggregate(
+        sq, F.lit(0), lambda acc, v: acc + F.when(v.isNotNull(), 1).otherwise(0)
+    )
+    s = F.aggregate(
+        sq, F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0))
+    )
+    return F.when(
+        present > 0, F.sqrt(F.lit(float(n_features)) / present * s)
+    )
+
+
+def knn_impute(
+    df: DataFrame,
+    feature_cols: list[str],
+    k: int = 5,
+    mode: str = "exact",
+    id_col: str | None = None,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Impute every missing cell of ``feature_cols`` (sklearn
+    KNNImputer semantics, uniform weights). Returns the input with each
+    feature column imputed, plus ``__imputed_<c>`` boolean markers.
+
+    ``id_col``: unique row id; synthesized deterministically from the
+    full row content hash when absent (content-hash, never
+    monotonically_increasing_id — collisions only for fully identical
+    rows, which are interchangeable as donors anyway).
+    """
+    n_feat = len(feature_cols)
+    fc = [F.col(c).cast("double") for c in feature_cols]
+    if id_col is None:
+        rid = F.xxhash64(*[c.cast("string") for c in fc],
+                         *[F.col(c).cast("string") for c in df.columns])
+        base = df.withColumn("__rid", rid)
+    else:
+        base = df.withColumn("__rid", F.col(id_col))
+    base = base.withColumn("__vec", F.array(*fc))
+    any_missing = F.exists("__vec", lambda v: v.isNull())
+
+    # column means: the universal fallback (one fused agg)
+    means_row = base.agg(
+        *[F.avg(F.element_at("__vec", i + 1)).alias(feature_cols[i])
+          for i in range(n_feat)]
+    ).collect()[0]
+    col_mean = {c: means_row[c] for c in feature_cols}
+
+    needy = base.filter(any_missing).select("__rid", F.col("__vec").alias("__nvec"))
+    donors = base.select(F.col("__rid").alias("__did"), F.col("__vec").alias("__dvec"))
+
+    if mode == "exact":
+        cand = donors.join(F.broadcast(needy), F.col("__did") != F.col("__rid"))
+    elif mode == "lsh":
+        from tanml_spark.operators.similarity import lsh_buckets_udf
+
+        spark = df.sparkSession
+        stats = base.agg(
+            *[F.stddev_pop(F.element_at("__vec", i + 1)).alias(f"s{i}")
+              for i in range(n_feat)]
+        ).collect()[0]
+        mu = [col_mean[c] or 0.0 for c in feature_cols]
+        sd = [(stats[f"s{i}"] or 1.0) or 1.0 for i in range(n_feat)]
+
+        def std_of(vec_col: str):
+            # standardized, mean-imputed hashing vector (missing -> 0,
+            # i.e. the column mean — standard LSH practice for nan rows)
+            return F.array(*[
+                F.coalesce(
+                    (F.element_at(vec_col, i + 1) - F.lit(mu[i])) / F.lit(sd[i]),
+                    F.lit(0.0),
+                )
+                for i in range(n_feat)
+            ])
+
+        buckets = lsh_buckets_udf(spark, n_feat, n_tables, n_bits)
+        n_sig = needy.select(
+            "__rid", "__nvec",
+            F.posexplode(buckets(std_of("__nvec"))).alias("table", "bucket"),
+        )
+        d_sig = donors.select(
+            "__did", "__dvec",
+            F.posexplode(buckets(std_of("__dvec"))).alias("table", "bucket"),
+        )
+        # skew guard: cap donor bucket size like cosine_near_dup_pairs
+        bsz = d_sig.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        d_sig = d_sig.join(F.broadcast(bsz.filter(F.col("__bsz") <= max_bucket)),
+                           ["table", "bucket"])
+        cand = (
+            d_sig.join(n_sig, ["table", "bucket"])
+            .filter(F.col("__did") != F.col("__rid"))
+            .dropDuplicates(["__rid", "__did"])
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    dist = _nan_euclidean(F.col("__nvec"), F.col("__dvec"), n_feat)
+    scored = cand.withColumn("__dist", dist).filter(F.col("__dist").isNotNull())
+
+    # per missing CELL: k nearest donors that HAVE the column — rank
+    # per (row, column) because donor eligibility is per-column
+    # (sklearn's donor definition)
+    fills = []
+    for i, c in enumerate(feature_cols):
+        need_c = F.element_at("__nvec", i + 1).isNull()
+        have_c = F.element_at("__dvec", i + 1).isNotNull()
+        w = Window.partitionBy("__rid").orderBy(F.asc("__dist"), F.asc("__did"))
+        f = (
+            scored.filter(need_c & have_c)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .groupBy("__rid")
+            .agg(F.avg(F.element_at("__dvec", i + 1)).alias(f"__fill_{c}"))
+        )
+        fills.append(f)
+
+    out = base
+    for c, f in zip(feature_cols, fills):
+        # fill tables are keyed on __rid (one row per needy row) — a
+        # plain key join scales; broadcast only in exact mode where the
+        # needy side is small by assumption.
+        out = out.join(F.broadcast(f) if mode == "exact" else f,
+                       "__rid", "left")
+    sel = [col for col in df.columns if col not in feature_cols]
+    for i, c in enumerate(feature_cols):
+        orig = F.element_at("__vec", i + 1)
+        filled = F.coalesce(orig, F.col(f"__fill_{c}"),
+                            F.lit(col_mean[c]))
+        sel.append(filled.alias(c))
+        sel.append(orig.isNull().alias(f"__imputed_{c}"))
+    return out.select(*sel)

@@ -77,9 +77,10 @@ def test_vif_matches_statsmodels_formula(xdf):
 
 def test_kendall_exact_matches_numpy(spark):
     """Exact distributed tau-b == the O(n²) numpy oracle on ties-heavy
-    data (no sampling involved); cardinality guard raises."""
+    data (no sampling involved); above the broadcast-join guard the
+    implementation dispatches to the dominance path (r03) and must
+    produce the SAME exact value."""
     import numpy as np
-    import pytest
     from tanml_spark.checks.correlation import kendall_tau_b, kendall_tau_exact
 
     rng = np.random.default_rng(9)
@@ -90,5 +91,5 @@ def test_kendall_exact_matches_numpy(spark):
     got = kendall_tau_exact(df, "x", "y")
     exp = kendall_tau_b(a, b)
     assert abs(got - exp) < 1e-12
-    with pytest.raises(ValueError, match="cardinality"):
-        kendall_tau_exact(df, "x", "y", max_cardinality=3)
+    via_dominance = kendall_tau_exact(df, "x", "y", max_cardinality=3)
+    assert abs(via_dominance - exp) < 1e-12

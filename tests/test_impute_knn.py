@@ -1,0 +1,108 @@
+"""KNN imputation parity vs a numpy reimplementation of sklearn's
+KNNImputer (sklearn itself is absent from this environment; the
+reference algorithm — nan-euclidean distances, uniform mean of the k
+nearest per-column donors, column-mean fallback — is reimplemented
+exactly below)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tanml_spark.operators.impute_knn import knn_impute
+from tanml_spark.sources.credit_demo import credit_pdf
+
+COLS = ["income", "credit_score", "age", "loan_amount", "debt_to_income"]
+
+
+def _inject_missing(pdf: pd.DataFrame, frac: float = 0.08) -> pd.DataFrame:
+    rng = np.random.default_rng(17)
+    out = pdf[COLS].astype(float).copy().reset_index(drop=True)
+    for c in COLS[:3]:
+        mask = rng.random(len(out)) < frac
+        out.loc[mask, c] = np.nan
+    return out
+
+
+def _ref_knn_impute(X: np.ndarray, k: int = 5) -> np.ndarray:
+    """sklearn KNNImputer(uniform) semantics; ties broken by (dist, id)
+    like the engine (fixture is continuous -> no ties in practice)."""
+    n, d = X.shape
+    col_mean = np.nanmean(X, axis=0)
+    present = ~np.isnan(X)
+    out = X.copy()
+    for i in range(n):
+        miss = np.where(~present[i])[0]
+        if not len(miss):
+            continue
+        both = present[i] & present  # (n, d) shared-coordinate masks
+        cnt = both.sum(axis=1)
+        diff = np.where(both, np.nan_to_num(X[i]) - np.nan_to_num(X), 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dist = np.sqrt(d / cnt * (diff * diff).sum(axis=1))
+        dist[i] = np.nan
+        for c in miss:
+            ok = np.isfinite(dist) & present[:, c]
+            idx = np.where(ok)[0]
+            if not len(idx):
+                out[i, c] = col_mean[c]
+                continue
+            order = idx[np.lexsort((idx, dist[idx]))][:k]
+            out[i, c] = X[order, c].mean()
+    return out
+
+
+@pytest.fixture(scope="module")
+def credit_missing(spark):
+    pdf = _inject_missing(credit_pdf(seed=42, n_samples=300))
+    pdf.insert(0, "id", np.arange(len(pdf)))
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_exact_mode_matches_sklearn_semantics(credit_missing):
+    pdf, df = credit_missing
+    got = (
+        knn_impute(df, COLS, k=5, mode="exact", id_col="id")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = _ref_knn_impute(pdf[COLS].to_numpy(), k=5)
+    for j, c in enumerate(COLS):
+        assert np.allclose(got[c].to_numpy(), exp[:, j], atol=1e-9), c
+    # markers flag exactly the injected cells
+    assert (got["__imputed_income"].to_numpy()
+            == np.isnan(pdf["income"].to_numpy())).all()
+
+
+def test_lsh_mode_close_to_exact_and_no_cross_join(credit_missing):
+    pdf, df = credit_missing
+    exact = (
+        knn_impute(df, COLS, k=5, mode="exact", id_col="id")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    lsh_df = knn_impute(df, COLS, k=5, mode="lsh", id_col="id",
+                        n_tables=8, n_bits=4)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    lsh = lsh_df.toPandas().sort_values("id").reset_index(drop=True)
+    # every missing cell imputed, and the approximate fills stay close
+    # to exact KNN on this fixture (documented tolerance: neighbor sets
+    # may differ where buckets miss a donor)
+    for c in COLS:
+        assert lsh[c].notna().all()
+        mask = np.isnan(pdf[c].to_numpy())
+        if mask.any():
+            a, b = lsh.loc[mask, c].to_numpy(), exact.loc[mask, c].to_numpy()
+            denom = np.abs(b).mean()
+            assert np.abs(a - b).mean() / denom < 0.15
+
+
+def test_no_missing_is_identity(spark):
+    pdf = credit_pdf(seed=42, n_samples=50)[COLS].astype(float)
+    pdf.insert(0, "id", np.arange(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    got = (
+        knn_impute(df, COLS, k=3, mode="exact", id_col="id")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    for c in COLS:
+        assert np.allclose(got[c].to_numpy(), pdf[c].to_numpy())
+        assert not got[f"__imputed_{c}"].any()

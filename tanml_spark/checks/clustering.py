@@ -15,7 +15,9 @@ expressions; KMeans is pyspark.ml (distributed Lloyd's); the p95 is
 ``percentile_approx`` at scale (exact percentile at test scale).
 Distance-to-centroid is computed with JVM array math (no UDF): the k
 centroid distances per row are an array expression, min-reduced.
-PCA visualization coords are out of engine scope (plotting concern).
+PCA visualization coords (clustering.py:125-141): see
+``pca_projection`` — fused covar_pop agg + driver eigh + JVM
+projection expressions (added r03).
 """
 
 from __future__ import annotations
@@ -127,6 +129,82 @@ def analyze_cluster_coverage(
         "cluster_distribution": cluster_dist,
         "status": status,
     }
+
+
+def pca_projection(
+    df: DataFrame,
+    columns: list[str],
+    n_components: int = 2,
+    means: dict | None = None,
+    stds: dict | None = None,
+    components: np.ndarray | None = None,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Distributed 2-D PCA projection — the reference's cluster
+    visualization coords (tanml/analysis/clustering.py:125-141,
+    sklearn PCA(n_components=2) on the scaled matrix), closing the
+    last (cosmetic) reference-parity gap from r02.
+
+    Spark-first: the k×k covariance matrix comes from ONE fused agg of
+    ``covar_pop`` expressions (k(k+1)/2 JVM exprs, single pass); the
+    eigendecomposition is driver numpy on the tiny matrix; the
+    projection is a plain column expression per component — no UDF, no
+    collect of row data, columns pruned at the scan.
+
+    Sign convention: each component is flipped so its
+    largest-|loading| element is positive (sklearn's svd_flip analog —
+    deterministic across machines/parallelism).
+
+    Returns (df + pca_1..pca_n columns, components (n_comp, k),
+    explained_variance (n_comp,)). ``means``/``stds``/``components``
+    apply externally-fit state (pass the TRAIN stats + TRAIN components
+    to project test data, mirroring scaler.transform + pca.transform
+    in the reference); fitted from ``df`` itself when omitted.
+    """
+    k = len(columns)
+    if means is None or stds is None:
+        stats = df.agg(
+            *[F.avg(c).alias(f"m_{c}") for c in columns],
+            *[F.stddev_samp(c).alias(f"s_{c}") for c in columns],
+        ).collect()[0]
+        means = {c: stats[f"m_{c}"] or 0.0 for c in columns}
+        stds = {c: stats[f"s_{c}"] or 1.0 for c in columns}
+    scaled = [
+        ((F.col(c) - F.lit(means[c])) / F.lit(stds[c] or 1.0)).alias(c)
+        for c in columns
+    ]
+    s = df.select(*scaled)
+    if components is not None:
+        comps = np.asarray(components, dtype=float)
+        explained = np.zeros(comps.shape[0])
+    else:
+        cov_exprs = [
+            F.covar_pop(columns[i], columns[j]).alias(f"c_{i}_{j}")
+            for i in range(k)
+            for j in range(i, k)
+        ]
+        row = s.agg(*cov_exprs).collect()[0]
+        cov = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                v = row[f"c_{i}_{j}"]
+                cov[i, j] = cov[j, i] = 0.0 if v is None else v
+        evals, evecs = np.linalg.eigh(cov)          # ascending
+        order = np.argsort(evals)[::-1][:n_components]
+        comps = evecs[:, order].T                    # (n_comp, k)
+        for r_ in range(comps.shape[0]):             # svd_flip analog
+            if comps[r_, np.argmax(np.abs(comps[r_]))] < 0:
+                comps[r_] = -comps[r_]
+        explained = evals[order]
+
+    proj_cols = [
+        sum(
+            (F.col(c) - F.lit(means[c])) / F.lit(stds[c] or 1.0)
+            * F.lit(float(comps[r_, i]))
+            for i, c in enumerate(columns)
+        ).alias(f"pca_{r_ + 1}")
+        for r_ in range(comps.shape[0])
+    ]
+    return df.select("*", *proj_cols), comps, explained
 
 
 @register_check("cluster_coverage", order=70)

@@ -465,7 +465,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=8)
+    out = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=8, max_iter=2)
     return out.select(
         "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
     )

@@ -163,9 +163,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF coarse quantization: KMeans cells; probe nearest n_probe
     cells per query. Returns (query_id, vec_id, score, rank).
+    ``max_iter``: KMeans refinement iterations — recall depends only
+    mildly on centroid quality (and not at all when n_probe=n_cells),
+    so recall-1.0 driver configurations use a small value.
 
     Cell assignment is an Arrow pandas_udf over a BROADCAST centroid
     matrix (r01 VERDICT fix #5: plan-literal centroids made the
@@ -176,7 +180,8 @@ def ivf_topk(
 
     spark = corpus.sparkSession
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                featuresCol="features").fit(train)
     centers = np.stack([np.asarray(c, dtype=np.float64) for c in km.clusterCenters()])
     bc = spark.sparkContext.broadcast(centers)
 

@@ -93,3 +93,42 @@ def test_salted_duplicate_stats_equals_plain(spark, code_files):
     s = duplicate_stats_salted(hot, ["repo", "path", "commit"]).collect()[0]
     assert (p["n_keys_duplicated"], p["n_rows_duplicated"]) == (1, 10000)
     assert (s["n_keys_duplicated"], s["n_rows_duplicated"]) == (1, 10000)
+
+
+def test_pca_projection_matches_numpy(spark):
+    """Distributed PCA == numpy eigh-on-covariance reference (sklearn
+    PCA semantics on standardized data; components sign-fixed by
+    largest-|loading|; explained variance here is population-ddof)."""
+    import numpy as np
+    from tanml_spark.checks.clustering import pca_projection
+    from tanml_spark.sources.credit_demo import credit_pdf
+
+    cols = ["income", "credit_score", "age", "loan_amount"]
+    pdf = credit_pdf(seed=42, n_samples=400)[cols].astype(float)
+    df = spark.createDataFrame(pdf)
+    out, comps, expl = pca_projection(df, cols, n_components=2)
+
+    X = pdf.to_numpy()
+    Xs = (X - X.mean(0)) / X.std(0, ddof=1)
+    cov = np.cov(Xs.T, ddof=0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    ref = evecs[:, order].T
+    for r in range(2):
+        if ref[r, np.argmax(np.abs(ref[r]))] < 0:
+            ref[r] = -ref[r]
+    assert np.allclose(comps, ref, atol=1e-9)
+    assert np.allclose(expl, evals[order], atol=1e-9)
+
+    got = out.toPandas()[["pca_1", "pca_2"]].to_numpy()
+    exp = Xs @ ref.T
+    assert np.allclose(np.sort(got, axis=0), np.sort(exp, axis=0), atol=1e-8)
+    # projecting a SECOND frame with train-fit stats (reference's
+    # scaler.transform + pca.transform path)
+    means = {c: X.mean(0)[i] for i, c in enumerate(cols)}
+    stds = {c: X.std(0, ddof=1)[i] for i, c in enumerate(cols)}
+    out2, comps2, _ = pca_projection(df.limit(50), cols, 2, means, stds,
+                                     components=comps)
+    assert np.allclose(comps2, comps, atol=1e-9)
+    p2 = out2.toPandas()[["pca_1", "pca_2"]].to_numpy()
+    assert p2.shape == (50, 2) and np.isfinite(p2).all()

@@ -493,6 +493,109 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ------------------------------------------- q: KNN impute (r03, oracled)
+def q_knn_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN imputation (operators/impute_knn.py, sklearn semantics)
+    under the hash gate: deterministic missingness injected into
+    l_quantity, k=5 nearest by nan-euclidean over 4 features; the
+    DuckDB oracle recomputes every imputed cell from first principles.
+    Only q is ever missing, so every pair shares exactly the other 3
+    coordinates — the oracle distance is sqrt(4/3 * Σ₃ diff²)."""
+    from tanml_spark.operators.impute_knn import knn_impute
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    # the synthetic lineitem deliberately contains duplicate
+    # (orderkey, linenumber) rows (dedup fixtures) -> aggregate to one
+    # row per key first, identically in both engines
+    d0 = li.groupBy(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk")
+    ).agg(
+        F.min(F.col("l_quantity").cast("double")).alias("q0"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("e"),
+        F.min(F.col("l_discount").cast("double")).alias("d"),
+        F.min(F.col("l_tax").cast("double")).alias("x"),
+    )
+    d = d0.select(
+        "rk",
+        F.when(F.col("rk") % 11 == 0, F.lit(None)).otherwise(F.col("q0"))
+        .alias("q"),
+        "e", "d", "x",
+    )
+    out = knn_impute(d, ["q", "e", "d", "x"], k=5, mode="exact", id_col="rk")
+    return out.filter(F.col("__imputed_q")).select(
+        "rk", F.round("q", 6).alias("q_imputed")
+    )
+
+
+SQL_KNN_IMPUTE = """
+WITH t0 AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rk,
+         min(l_quantity::DOUBLE) AS q0,
+         min(l_extendedprice::DOUBLE) AS e,
+         min(l_discount::DOUBLE) AS d,
+         min(l_tax::DOUBLE) AS x
+  FROM lineitem WHERE l_orderkey % 101 = 0
+  GROUP BY 1
+), t AS (
+  SELECT rk, CASE WHEN rk % 11 = 0 THEN NULL ELSE q0 END AS q, e, d, x
+  FROM t0
+), needy AS (
+  SELECT * FROM t WHERE q IS NULL
+), donors AS (
+  SELECT * FROM t WHERE q IS NOT NULL
+), pairs AS (
+  SELECT n.rk, dn.q AS dq, dn.rk AS did,
+         sqrt(4.0 / 3.0 * ((n.e - dn.e) * (n.e - dn.e)
+                           + (n.d - dn.d) * (n.d - dn.d)
+                           + (n.x - dn.x) * (n.x - dn.x))) AS dist
+  FROM needy n JOIN donors dn ON n.rk <> dn.rk
+), ranked AS (
+  SELECT rk, dq,
+         row_number() OVER (PARTITION BY rk ORDER BY dist ASC, did ASC) AS rn
+  FROM pairs
+)
+SELECT rk, round(avg(dq), 6) AS q_imputed
+FROM ranked WHERE rn <= 5 GROUP BY rk
+"""
+
+
+# ---------------------- q: Kendall via dominance counting (r03, oracled)
+def q_kendall_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b over a CONTINUOUS pair (l_extendedprice is
+    ~all-distinct, so the condensed k² join path is out of budget) via
+    the dominance-count decomposition (operators/dominance.py) — the
+    r03 operator that removed the cardinality ceiling — against a
+    DuckDB oracle that classifies every unordered pair from first
+    principles."""
+    from tanml_spark.operators.dominance import kendall_tau_dominance
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 17 == 0)
+    tau = kendall_tau_dominance(li, "l_extendedprice", "l_quantity",
+                                n_buckets=16)
+    return spark.createDataFrame([(round(tau, 6),)], "kendall_tau double")
+
+
+SQL_KENDALL_DOMINANCE = """
+WITH base AS (
+  SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b
+  FROM lineitem WHERE l_orderkey % 17 = 0
+), t AS (
+  SELECT row_number() OVER () AS i, a, b FROM base
+), s AS (
+  SELECT
+    sum(CASE WHEN (x.a < y.a AND x.b < y.b)
+              OR (x.a > y.a AND x.b > y.b) THEN 1 ELSE 0 END)::DOUBLE AS c,
+    sum(CASE WHEN (x.a < y.a AND x.b > y.b)
+              OR (x.a > y.a AND x.b < y.b) THEN 1 ELSE 0 END)::DOUBLE AS d,
+    sum(CASE WHEN x.a = y.a THEN 1 ELSE 0 END)::DOUBLE AS n1,
+    sum(CASE WHEN x.b = y.b THEN 1 ELSE 0 END)::DOUBLE AS n2,
+    count(*)::DOUBLE AS n0
+  FROM t x JOIN t y ON x.i < y.i
+)
+SELECT round((c - d) / sqrt((n0 - n1) * (n0 - n2)), 6) AS kendall_tau FROM s
+"""
+
+
 def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cv_metrics": q_cv_metrics,
@@ -503,6 +606,8 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "knn_impute": q_knn_impute,
+        "kendall_dominance": q_kendall_dominance,
         "range_join": q_range_join,
     }
 
@@ -517,5 +622,7 @@ def all_oracles3() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "lsh_topk": SQL_LSH_TOPK,
         "ivf_topk": SQL_IVF_TOPK,
+        "knn_impute": SQL_KNN_IMPUTE,
+        "kendall_dominance": SQL_KENDALL_DOMINANCE,
         "range_join": SQL_RANGE_JOIN,
     }

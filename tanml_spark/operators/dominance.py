@@ -76,12 +76,14 @@ def kendall_tau_dominance(
     """Exact Kendall tau-b with no cardinality ceiling (see module
     docstring). Deterministic: cutpoints are collected once and only
     affect load balance; all counts are exact integers."""
-    spark = df.sparkSession
     d = df.select(
         F.col(col_a).cast("double").alias("a"),
         F.col(col_b).cast("double").alias("b"),
     ).na.drop()
-    cond = d.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    # the condensed table feeds five downstream actions (grid, three
+    # dominance groups, marginals) — persist it for the duration
+    # (bounded by distinct-pair cardinality, spillable at scale)
+    cond = d.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")).persist()
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_a, cuts_b = (
@@ -114,41 +116,61 @@ def kendall_tau_dominance(
     dom_cells[1:, 1:] = pref[:-1, :-1]  # strictly smaller in BOTH buckets
     c_grid = float((grid * dom_cells).sum())
 
-    # terms 2-3: within-group dominance via applyInPandas
-    out_schema = "s double"
+    # terms 2-3: within-group dominance via applyInPandas. The
+    # (ba, bb)-cell term is computed INSIDE the per-a-bucket pass
+    # (cells partition each a-bucket), saving a third shuffle round.
+    def fn_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf["a"].to_numpy(np.float64)
+        b = pdf["b"].to_numpy(np.float64)
+        c = pdf["c"].to_numpy(np.float64)
+        s = _dom_sum(a, b, c)
+        s_cell = 0.0
+        for bb in np.unique(pdf["bb"].to_numpy()):
+            m = (pdf["bb"] == bb).to_numpy()
+            if m.sum() > 1:
+                s_cell += _dom_sum(a[m], b[m], c[m])
+        return pd.DataFrame({"s": [s], "s_cell": [s_cell]})
 
-    def make(group_keys):
-        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            s = _dom_sum(
-                pdf["a"].to_numpy(np.float64),
-                pdf["b"].to_numpy(np.float64),
-                pdf["c"].to_numpy(np.float64),
-            )
-            return pd.DataFrame({"s": [s]})
-        return fn
+    def fn_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = _dom_sum(
+            pdf["a"].to_numpy(np.float64),
+            pdf["b"].to_numpy(np.float64),
+            pdf["c"].to_numpy(np.float64),
+        )
+        return pd.DataFrame({"s": [s]})
 
-    def dom_within(keys) -> float:
-        rows = g.groupBy(*keys).applyInPandas(make(keys), out_schema)
-        r = rows.agg(F.sum("s")).collect()[0][0]
-        return float(r or 0.0)
-
-    c_same_a = dom_within(["ba"])
-    c_same_b = dom_within(["bb"])
-    c_cell = dom_within(["ba", "bb"])
+    ra = (
+        g.groupBy("ba").applyInPandas(fn_a, "s double, s_cell double")
+        .agg(F.sum("s"), F.sum("s_cell")).collect()[0]
+    )
+    c_same_a, c_cell = float(ra[0] or 0.0), float(ra[1] or 0.0)
+    rb = (
+        g.groupBy("bb").applyInPandas(fn_b, "s double")
+        .agg(F.sum("s")).collect()[0][0]
+    )
+    c_same_b = float(rb or 0.0)
     C = c_grid + c_same_a + (c_same_b - c_cell)
 
-    # marginals (exact integers): n, tie corrections
+    # marginals (exact integers): n, tie corrections — n1/n2 fused
+    # into ONE job via a stacked (dim, value) groupBy
     m = cond.agg(
         F.sum("c").alias("n"),
         F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2).alias("n3"),
     ).collect()[0]
     n, n3 = m["n"], m["n3"]
-    n1 = cond.groupBy("a").agg(F.sum("c").alias("t")).agg(
-        F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
-    ).collect()[0][0]
-    n2 = cond.groupBy("b").agg(F.sum("c").alias("t")).agg(
-        F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
-    ).collect()[0][0]
+    stacked = cond.select(
+        F.expr("stack(2, 'a', a, 'b', b) as (dim, v)"), "c"
+    )
+    ties = {
+        r["dim"]: r["t2"]
+        for r in stacked.groupBy("dim", "v").agg(F.sum("c").alias("t"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
+             .alias("t2"))
+        .collect()
+    }
+    n1, n2 = ties.get("a", 0.0), ties.get("b", 0.0)
+    cond.unpersist()
     n0 = n * (n - 1) / 2.0
     D = (n0 - n1 - n2 + n3) - C
     denom = ((n0 - n1) * (n0 - n2)) ** 0.5

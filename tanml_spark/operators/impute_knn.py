@@ -7,12 +7,16 @@ exact semantics re-expressed as DataFrame ops:
 
 - distance: nan-euclidean over the feature columns,
   d(x, y) = sqrt(n_features / n_present_both * Σ_present (x_i - y_i)²)
-  (sklearn.metrics.pairwise.nan_euclidean_distances), computed JVM-side
-  with ``zip_with``/``aggregate`` over array columns — no Python in the
-  distance path;
+  (sklearn.metrics.pairwise.nan_euclidean_distances), built from plain
+  SCALAR column expressions — fully whole-stage-codegen, no Python and
+  no higher-order array functions in the pair loop (the first cut used
+  zip_with/aggregate over array columns; interpreted HOF lambdas made
+  the pair scan ~10x slower);
 - per missing cell: the UNIFORM mean of that column over the k nearest
   donors (rows where the column is present); a row with no usable
   donor falls back to the column mean — sklearn's exact fallback;
+  columns with ZERO missing cells are skipped entirely (no pair-table
+  rescan for them);
 - ties: sklearn's argpartition order is unspecified; we fix (distance,
   donor_id) ascending, deterministic across parallelism. Parity tests
   therefore use fixtures without exact distance ties at rank k.
@@ -38,24 +42,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _nan_euclidean(a, b, n_features: int):
-    """JVM expression: nan-euclidean distance between two double arrays
-    (null elements = missing). NULL when no coordinate is shared."""
-    sq = F.zip_with(
-        a, b,
-        lambda x, y: F.when(x.isNotNull() & y.isNotNull(), (x - y) * (x - y)),
-    )
-    present = F.aggregate(
-        sq, F.lit(0), lambda acc, v: acc + F.when(v.isNotNull(), 1).otherwise(0)
-    )
-    s = F.aggregate(
-        sq, F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0))
-    )
-    return F.when(
-        present > 0, F.sqrt(F.lit(float(n_features)) / present * s)
-    )
-
-
 def knn_impute(
     df: DataFrame,
     feature_cols: list[str],
@@ -76,25 +62,41 @@ def knn_impute(
     rows, which are interchangeable as donors anyway).
     """
     n_feat = len(feature_cols)
-    fc = [F.col(c).cast("double") for c in feature_cols]
+    fc = {c: F.col(c).cast("double") for c in feature_cols}
     if id_col is None:
-        rid = F.xxhash64(*[c.cast("string") for c in fc],
-                         *[F.col(c).cast("string") for c in df.columns])
+        rid = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
         base = df.withColumn("__rid", rid)
     else:
         base = df.withColumn("__rid", F.col(id_col))
-    base = base.withColumn("__vec", F.array(*fc))
-    any_missing = F.exists("__vec", lambda v: v.isNull())
 
-    # column means: the universal fallback (one fused agg)
-    means_row = base.agg(
-        *[F.avg(F.element_at("__vec", i + 1)).alias(feature_cols[i])
-          for i in range(n_feat)]
+    # column means (fallback) + missing counts in ONE fused agg
+    stats_row = base.agg(
+        *[F.avg(fc[c]).alias(f"m_{c}") for c in feature_cols],
+        *[F.sum(fc[c].isNull().cast("long")).alias(f"miss_{c}")
+          for c in feature_cols],
     ).collect()[0]
-    col_mean = {c: means_row[c] for c in feature_cols}
+    col_mean = {c: stats_row[f"m_{c}"] for c in feature_cols}
+    missing_cols = [c for c in feature_cols if (stats_row[f"miss_{c}"] or 0) > 0]
+    if not missing_cols:  # nothing to impute: markers + passthrough
+        sel = [col for col in df.columns if col not in feature_cols]
+        for c in feature_cols:
+            sel.append(fc[c].alias(c))
+            sel.append(F.lit(False).alias(f"__imputed_{c}"))
+        return base.select(*sel)
 
-    needy = base.filter(any_missing).select("__rid", F.col("__vec").alias("__nvec"))
-    donors = base.select(F.col("__rid").alias("__did"), F.col("__vec").alias("__dvec"))
+    ncols = {c: f"__n_{i}" for i, c in enumerate(feature_cols)}
+    dcols = {c: f"__d_{i}" for i, c in enumerate(feature_cols)}
+    any_missing = None
+    for c in missing_cols:
+        m = fc[c].isNull()
+        any_missing = m if any_missing is None else (any_missing | m)
+    needy = base.filter(any_missing).select(
+        "__rid", *[fc[c].alias(ncols[c]) for c in feature_cols]
+    )
+    donors = base.select(
+        F.col("__rid").alias("__did"),
+        *[fc[c].alias(dcols[c]) for c in feature_cols],
+    )
 
     if mode == "exact":
         cand = donors.join(F.broadcast(needy), F.col("__did") != F.col("__rid"))
@@ -102,32 +104,29 @@ def knn_impute(
         from tanml_spark.operators.similarity import lsh_buckets_udf
 
         spark = df.sparkSession
-        stats = base.agg(
-            *[F.stddev_pop(F.element_at("__vec", i + 1)).alias(f"s{i}")
-              for i in range(n_feat)]
+        sd_row = base.agg(
+            *[F.stddev_pop(fc[c]).alias(f"s_{c}") for c in feature_cols]
         ).collect()[0]
-        mu = [col_mean[c] or 0.0 for c in feature_cols]
-        sd = [(stats[f"s{i}"] or 1.0) or 1.0 for i in range(n_feat)]
+        mu = {c: col_mean[c] or 0.0 for c in feature_cols}
+        sd = {c: (sd_row[f"s_{c}"] or 1.0) or 1.0 for c in feature_cols}
 
-        def std_of(vec_col: str):
+        def std_of(colmap: dict[str, str]):
             # standardized, mean-imputed hashing vector (missing -> 0,
             # i.e. the column mean — standard LSH practice for nan rows)
             return F.array(*[
                 F.coalesce(
-                    (F.element_at(vec_col, i + 1) - F.lit(mu[i])) / F.lit(sd[i]),
+                    (F.col(colmap[c]) - F.lit(mu[c])) / F.lit(sd[c]),
                     F.lit(0.0),
                 )
-                for i in range(n_feat)
+                for c in feature_cols
             ])
 
         buckets = lsh_buckets_udf(spark, n_feat, n_tables, n_bits)
         n_sig = needy.select(
-            "__rid", "__nvec",
-            F.posexplode(buckets(std_of("__nvec"))).alias("table", "bucket"),
+            "*", F.posexplode(buckets(std_of(ncols))).alias("table", "bucket")
         )
         d_sig = donors.select(
-            "__did", "__dvec",
-            F.posexplode(buckets(std_of("__dvec"))).alias("table", "bucket"),
+            "*", F.posexplode(buckets(std_of(dcols))).alias("table", "bucket")
         )
         # skew guard: cap donor bucket size like cosine_near_dup_pairs
         bsz = d_sig.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -141,38 +140,51 @@ def knn_impute(
     else:
         raise ValueError(f"unknown mode: {mode}")
 
-    dist = _nan_euclidean(F.col("__nvec"), F.col("__dvec"), n_feat)
+    # nan-euclidean from SCALAR expressions (codegen-friendly)
+    both = {
+        c: F.col(ncols[c]).isNotNull() & F.col(dcols[c]).isNotNull()
+        for c in feature_cols
+    }
+    present = sum(both[c].cast("int") for c in feature_cols)
+    sq = sum(
+        F.when(both[c], (F.col(ncols[c]) - F.col(dcols[c]))
+               * (F.col(ncols[c]) - F.col(dcols[c]))).otherwise(F.lit(0.0))
+        for c in feature_cols
+    )
+    dist = F.when(present > 0, F.sqrt(F.lit(float(n_feat)) / present * sq))
     scored = cand.withColumn("__dist", dist).filter(F.col("__dist").isNotNull())
 
     # per missing CELL: k nearest donors that HAVE the column — rank
     # per (row, column) because donor eligibility is per-column
-    # (sklearn's donor definition)
-    fills = []
-    for i, c in enumerate(feature_cols):
-        need_c = F.element_at("__nvec", i + 1).isNull()
-        have_c = F.element_at("__dvec", i + 1).isNotNull()
+    # (sklearn's donor definition). Only columns that actually have
+    # missing cells get a pipeline.
+    fills = {}
+    for c in missing_cols:
         w = Window.partitionBy("__rid").orderBy(F.asc("__dist"), F.asc("__did"))
-        f = (
-            scored.filter(need_c & have_c)
+        fills[c] = (
+            scored.filter(F.col(ncols[c]).isNull()
+                          & F.col(dcols[c]).isNotNull())
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .groupBy("__rid")
-            .agg(F.avg(F.element_at("__dvec", i + 1)).alias(f"__fill_{c}"))
+            .agg(F.avg(F.col(dcols[c])).alias(f"__fill_{c}"))
         )
-        fills.append(f)
 
     out = base
-    for c, f in zip(feature_cols, fills):
+    for c in missing_cols:
         # fill tables are keyed on __rid (one row per needy row) — a
         # plain key join scales; broadcast only in exact mode where the
         # needy side is small by assumption.
+        f = fills[c]
         out = out.join(F.broadcast(f) if mode == "exact" else f,
                        "__rid", "left")
     sel = [col for col in df.columns if col not in feature_cols]
-    for i, c in enumerate(feature_cols):
-        orig = F.element_at("__vec", i + 1)
-        filled = F.coalesce(orig, F.col(f"__fill_{c}"),
-                            F.lit(col_mean[c]))
+    for c in feature_cols:
+        orig = fc[c]
+        if c in missing_cols:
+            filled = F.coalesce(orig, F.col(f"__fill_{c}"), F.lit(col_mean[c]))
+        else:
+            filled = orig
         sel.append(filled.alias(c))
         sel.append(orig.isNull().alias(f"__imputed_{c}"))
     return out.select(*sel)

@@ -596,6 +596,56 @@ SELECT round((c - d) / sqrt((n0 - n1) * (n0 - n2)), 6) AS kendall_tau FROM s
 """
 
 
+
+# ----------------- q: streaming windowed rollup under the gate (r03)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the ORACLE gate: the watermarked
+    tumbling-window rollup (streaming/windowed.py) drained with
+    Trigger.AvailableNow over the events table. With a finite source
+    fully drained, no row is later than the watermark, so the
+    streaming result must equal the batch GROUP BY — which is exactly
+    what the DuckDB oracle computes. This puts the streaming engine's
+    correctness (not just its plumbing) under the hash-compare."""
+    import os
+    import tempfile
+    import uuid
+
+    from tanml_spark.streaming.windowed import windowed_event_counts
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    if os.path.isfile(src):  # file stream source requires a DIRECTORY
+        d = tempfile.mkdtemp(prefix="tanml_stream_src_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        src = d
+    out = windowed_event_counts(
+        spark,
+        source_dir=src,
+        checkpoint_dir=tempfile.mkdtemp(prefix="tanml_stream_q_"),
+        window="1 hour",
+        watermark="2 hours",
+        schema=schema,
+        query_name=f"stream_hourly_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("we"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+SQL_STREAM_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS we,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cv_metrics": q_cv_metrics,
@@ -608,6 +658,7 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "knn_impute": q_knn_impute,
         "kendall_dominance": q_kendall_dominance,
+        "stream_hourly": q_stream_hourly,
         "range_join": q_range_join,
     }
 
@@ -624,5 +675,6 @@ def all_oracles3() -> dict[str, str]:
         "ivf_topk": SQL_IVF_TOPK,
         "knn_impute": SQL_KNN_IMPUTE,
         "kendall_dominance": SQL_KENDALL_DOMINANCE,
+        "stream_hourly": SQL_STREAM_HOURLY,
         "range_join": SQL_RANGE_JOIN,
     }

@@ -70,16 +70,30 @@ def _dom_sum(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
     return total
 
 
+ROWS_PER_DOM_TASK = 2_000_000  # target condensed rows per dominance task
+
+
 def kendall_tau_dominance(
-    df: DataFrame, col_a: str, col_b: str, n_buckets: int = 32
+    df: DataFrame, col_a: str, col_b: str, n_buckets: int | None = None
 ) -> float:
     """Exact Kendall tau-b with no cardinality ceiling (see module
     docstring). Deterministic: cutpoints are collected once and only
-    affect load balance; all counts are exact integers."""
+    affect load balance; all counts are exact integers.
+
+    ``n_buckets`` defaults adaptively: ~ceil(K / ROWS_PER_DOM_TASK)
+    from an approx-distinct estimate (scan-only sketch), clamped to
+    [32, 1024] — so the largest dominance task stays ~K/P condensed
+    rows regardless of cardinality (P=Q; grid is P² cells, <= ~10⁶
+    driver doubles at the clamp)."""
     d = df.select(
         F.col(col_a).cast("double").alias("a"),
         F.col(col_b).cast("double").alias("b"),
     ).na.drop()
+    if n_buckets is None:
+        est = d.agg(
+            F.approx_count_distinct(F.struct("a", "b")).alias("k")
+        ).collect()[0]["k"] or 1
+        n_buckets = int(min(1024, max(32, -(-est // ROWS_PER_DOM_TASK))))
     # the condensed table feeds five downstream actions (grid, three
     # dominance groups, marginals) — persist it for the duration
     # (bounded by distinct-pair cardinality, spillable at scale)

@@ -240,3 +240,35 @@ def test_asof_join_deterministic_on_duplicate_right_ts(spark):
         out = asof_join(left, right, on="id", ts_col="ts")
         picks.append(sorted((r["ts"], r["val"]) for r in out.collect()))
     assert picks[0] == picks[1] == picks[2]
+
+
+def test_prefix_bounded_tasks_at_high_cardinality(spark):
+    """Scale-shape check: 1M distinct condensed rows flow through the
+    range-partitioned prefix sum with NO task seeing more than
+    ~cardinality/n_buckets rows — and the cumulative result is exact
+    (spot-checked against the closed form of a permutation fixture)."""
+    n = 1_000_000
+    cond = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            # bijective scramble -> unique, unordered values per group
+            F.xxhash64("id").cast("double").alias("v"),
+            F.lit(1).alias("c"),
+        )
+    )
+    out = partitioned_cumsum(cond, ["v"], ["c"], ("g",), n_buckets=64)
+    # per group: cum over all-ones in v-order == rank 1..m; checksum:
+    # sum of cum_c per group == m(m+1)/2, max == group size
+    chk = (
+        out.groupBy("g")
+        .agg(
+            F.sum("__cum_c").alias("s"),
+            F.max("__cum_c").alias("mx"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .collect()
+    )
+    for r in chk:
+        assert r["mx"] == r["m"]
+        assert r["s"] == r["m"] * (r["m"] + 1) // 2

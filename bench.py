@@ -229,9 +229,17 @@ def main() -> None:
     # would measure hypervisor contention, not the engine. Env
     # TANML_BENCH_SCALING_LOW > 0 overrides; 0 disables scaling.
     pick_calibration = None
-    if scale_low < 0:  # auto (the default; see env parsing below)
+    pick_rule_satisfied = None
+    if scale_low < 0:  # auto (the default; see env parsing above)
         pick_calibration = host_cpu_calibration()
-        scale_low = 8 if pick_calibration.get("8->32", 0) >= 0.9 else 2
+        # apply the documented rule to EVERY rung, largest first; if no
+        # rung delivers >=0.9 raw, fall back to the smallest and flag
+        # it so the evidence is not overstated.
+        scale_low, pick_rule_satisfied = 2, False
+        for n, key in ((8, "8->32"), (2, "2->8")):
+            if pick_calibration.get(key, 0) >= 0.9:
+                scale_low, pick_rule_satisfied = n, True
+                break
 
     # Headline throughput at the full parallelism level.
     suite_sec, n_files, verdict_hash = bench_level(
@@ -282,6 +290,7 @@ def main() -> None:
             "eff_median": eff_median,
             "runs": runs,
             "n_picked_by_calibration": pick_calibration,
+            "n_pick_rule_satisfied": pick_rule_satisfied,
             "host_cpu_scaling_median_run": mid["host_cpu_scaling"],
             "deterministic": len(hashes) == 1,
         }

@@ -54,13 +54,21 @@ def main() -> None:
         for i, run in enumerate(s["runs"])
     )
     pick = s.get("n_picked_by_calibration")
-    pick_line = (
-        f"picked programmatically from the pre-run calibration "
-        f"{json.dumps(pick)}: the largest N whose N→4N pure-CPU ratio "
-        f"is ≥ 0.9 of ideal on this shared box (rule in bench.py)."
-        if pick is not None
-        else "fixed via $TANML_BENCH_SCALING_LOW."
-    )
+    if pick is not None:
+        pick_line = (
+            f"picked programmatically from the pre-run calibration "
+            f"{json.dumps(pick)}: the largest N whose N→4N pure-CPU "
+            f"ratio is ≥ 0.9 of ideal on this shared box (rule in "
+            f"bench.py)."
+        )
+        if s.get("n_pick_rule_satisfied") is False:
+            pick_line += (
+                " **CAVEAT: no rung reached 0.9 in that snapshot — the"
+                " smallest N was used as a fallback, so host contention"
+                " may depress the measured efficiency.**"
+            )
+    else:
+        pick_line = "fixed via $TANML_BENCH_SCALING_LOW."
 
     md = f"""# BENCH — measured performance
 

@@ -122,7 +122,9 @@ def main() -> None:
         },
     )
     sc = spark.sparkContext
-    ui = "http://localhost:4049"
+    # the ACTUALLY-bound UI URL: Spark silently retries 4050+ when the
+    # requested port is taken — a hardcoded URL would fail every fetch
+    ui = sc.uiWebUrl or "http://localhost:4049"
     app_id = sc.applicationId
 
     rows = []

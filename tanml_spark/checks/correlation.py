@@ -96,28 +96,33 @@ def kendall_tau_exact(
     PAIR EVALUATIONS (not rows), and the condensed table is broadcast.
     ``max_cardinality`` therefore defaults to 10_000 distinct (a, b)
     pairs (~5·10^7 pair evaluations, ~160 KB broadcast) — safe on any
-    executor. Raise it only knowingly; for continuous columns use the
-    sampled ``kendall_tau`` (Kendall on truly continuous data is what
-    Spearman is for).
+    executor. Above the budget (estimated by a scan-only sketch first,
+    then confirmed exactly) the call dispatches to the EXACT
+    dominance-count path (operators/dominance.py, r03) — still exact,
+    no ceiling.
 
     tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)), n0 = n(n−1)/2,
     n1/n2 = Σ t(t−1)/2 over per-value tie groups of a / b.
     """
-    cond = (
-        df.select(F.col(col_a).cast("double").alias("a"),
-                  F.col(col_b).cast("double").alias("b"))
-        .na.drop()
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    k = cond.count()
-    if k > max_cardinality:
+    d0 = df.select(F.col(col_a).cast("double").alias("a"),
+                   F.col(col_b).cast("double").alias("b")).na.drop()
+    # dispatch on a scan-only sketch FIRST (no condense shuffle spent
+    # just to learn we must throw it away); the exact count below still
+    # guards the broadcast-join budget against sketch error.
+    est = d0.agg(
+        F.approx_count_distinct(F.struct("a", "b")).alias("k")
+    ).collect()[0]["k"] or 0
+    from tanml_spark.operators.dominance import kendall_tau_dominance
+
+    if est > 1.2 * max_cardinality:
         # above the broadcast-join budget, switch to the EXACT
         # dominance-count path (operators/dominance.py, r03): bucketed
         # 2D prefix grid + per-group merge counting — O(k log k) work,
         # no pair stream, no ceiling. Same value, still exact.
-        from tanml_spark.operators.dominance import kendall_tau_dominance
-
+        return kendall_tau_dominance(df, col_a, col_b)
+    cond = d0.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    k = cond.count()
+    if k > max_cardinality:
         return kendall_tau_dominance(df, col_a, col_b)
     l, r = cond.alias("l"), cond.alias("r")
     ordered = (F.col("l.a") < F.col("r.a")) | (
@@ -145,9 +150,10 @@ def kendall_tau_exact(
     return float((cd["C"] - cd["D"]) / denom) if denom else float("nan")
 
 
-RANK_BROADCAST_MAX = 1_000_000  # per-column distinct ceiling for the
-                                # broadcast fast path (~16 MB/column of
-                                # (value, rank) float64 arrays)
+RANK_BROADCAST_MAX = 1_000_000  # TOTAL distinct ceiling (summed over
+                                # columns) for the broadcast fast path
+                                # (~16 MB/1M entries of (value, rank)
+                                # float64 arrays on the driver)
 
 
 def rank_transform(
@@ -158,7 +164,8 @@ def rank_transform(
     picked by one scan-only approx_count_distinct pre-pass (the
     psi_table mode="auto" precedent):
 
-    - cardinality <= max_broadcast: condensed per-(column, value)
+    - TOTAL distinct count (summed over columns) <= max_broadcast:
+      condensed per-(column, value)
       counts -> driver rank maps (cumsum arithmetic on the condensed
       table only — never row-level data) -> broadcast numpy arrays ->
       one Arrow ``mapInPandas`` searchsorted lookup. ONE shuffle, no
@@ -171,7 +178,11 @@ def rank_transform(
     est = df.agg(
         *[F.approx_count_distinct(c).alias(c) for c in columns]
     ).collect()[0]
-    if max(est[c] or 0 for c in columns) <= max_broadcast:
+    # the fast path collects the condensed counts of ALL columns in one
+    # toPandas, so the budget bounds the SUM of per-column estimates —
+    # a per-column max would let k near-budget columns multiply the
+    # driver footprint k-fold.
+    if sum(est[c] or 0 for c in columns) <= max_broadcast:
         out = _rank_transform_broadcast(df, columns)
         if out is not None:
             return out

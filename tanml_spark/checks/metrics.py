@@ -219,8 +219,9 @@ def regression_metrics(df: DataFrame, label_col: str = "label",
         # SST = n * var_pop(y) in the SAME pass (r02 VERDICT fix #6);
         # var_pop uses Spark's merge-stable moment formulation, so this
         # avoids both the second scan and the naive Σy²−n·ȳ²
-        # cancellation.
-        (F.var_pop(y) * F.count(F.lit(1))).alias("sst"),
+        # cancellation. count(y), not count(*): var_pop skips NULL
+        # labels, so n must too.
+        (F.var_pop(y) * F.count(y)).alias("sst"),
     ).collect()[0]
     sst = row["sst"]
     r2 = 1.0 - row["sse"] / sst if sst else float("nan")

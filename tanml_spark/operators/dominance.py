@@ -51,7 +51,12 @@ def _dom_sum(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
     stack = [(0, len(a))]  # explicit stack: skewed value runs would
     while stack:            # otherwise drive Python recursion depth
         lo, hi = stack.pop()
-        if hi - lo < 2 or a[lo] == a[hi - 1]:
+        # constant-a check must treat NaN==NaN as equal (NaN sorts
+        # last, so first/last-NaN => all-NaN): plain == would loop
+        # forever on an all-NaN segment.
+        if hi - lo < 2 or a[lo] == a[hi - 1] or (
+            np.isnan(a[lo]) and np.isnan(a[hi - 1])
+        ):
             continue  # <2 rows, or constant a: no strict a< pairs inside
         mid = (lo + hi) // 2
         # move split to an a-value boundary so left a < right a strictly
@@ -120,6 +125,9 @@ def kendall_tau_dominance(
 
     # term 1: cross-bucket grid (P×Q cells, driver numpy 2D prefix)
     grid_rows = g.groupBy("ba", "bb").agg(F.sum("c").alias("w")).collect()
+    if not grid_rows:  # empty input / all-null column -> undefined tau
+        cond.unpersist()
+        return float("nan")
     P = max(r["ba"] for r in grid_rows) + 1
     Q = max(r["bb"] for r in grid_rows) + 1
     grid = np.zeros((P, Q))

@@ -64,7 +64,15 @@ def knn_impute(
     n_feat = len(feature_cols)
     fc = {c: F.col(c).cast("double") for c in feature_cols}
     if id_col is None:
-        rid = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        # position-preserving content hash: Spark hash functions SKIP
+        # null inputs (two rows whose non-null values align would
+        # collide), so every column is passed as a (position-tag,
+        # never-null value) pair -- fixed arity, no separator ambiguity.
+        parts = []
+        for i, c in enumerate(df.columns):
+            parts.append(F.lit(i))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+        rid = F.xxhash64(*parts)
         base = df.withColumn("__rid", rid)
     else:
         base = df.withColumn("__rid", F.col(id_col))

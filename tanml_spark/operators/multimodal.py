@@ -285,7 +285,13 @@ def decode_png(data: bytes) -> tuple[int, int, float]:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the left pixel -> per-pixel
+        elif f == 1:  # Sub: per-channel prefix sum (mod 256) — the
+            # most common real-encoder filter, so keep it vectorized
+            cur = (
+                np.cumsum(line.reshape(-1, ch), axis=0, dtype=np.int64)
+                % 256
+            ).reshape(stride)
+        else:  # Average / Paeth need the left pixel -> per-pixel
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0       # left

@@ -106,3 +106,20 @@ def test_no_missing_is_identity(spark):
     for c in COLS:
         assert np.allclose(got[c].to_numpy(), pdf[c].to_numpy())
         assert not got[f"__imputed_{c}"].any()
+
+
+def test_content_rid_distinguishes_null_positions(spark):
+    """Spark hash functions skip NULL inputs; the synthesized row id
+    must still distinguish (null, 7.0) from (7.0, null)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(None, 7.0, 1.0), (7.0, None, 1.0)], "a double, b double, c double"
+    )
+    out = knn_impute(df, ["a", "b", "c"], k=1, mode="exact")
+    # two distinct needy rows -> two output rows, each imputed from the
+    # OTHER row (its only donor with the column present)
+    assert out.count() == 2
+    got = out.toPandas()
+    assert got["__imputed_a"].sum() == 1 and got["__imputed_b"].sum() == 1
+    assert (got["a"] == 7.0).all() and (got["b"] == 7.0).all()

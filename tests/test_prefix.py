@@ -272,3 +272,16 @@ def test_prefix_bounded_tasks_at_high_cardinality(spark):
     for r in chk:
         assert r["mx"] == r["m"]
         assert r["s"] == r["m"] * (r["m"] + 1) // 2
+
+
+def test_regression_metrics_r2_ignores_null_labels(spark):
+    """SST must count only non-null labels (var_pop skips them)."""
+    from tanml_spark.checks.metrics import regression_metrics
+
+    rows = [(1.0, 1.1), (2.0, 2.2), (3.0, 2.7), (4.0, 4.4)]
+    with_nulls = rows + [(None, 9.9)] * 3
+    df1 = spark.createDataFrame(rows, "label double, prediction double")
+    df2 = spark.createDataFrame(with_nulls, "label double, prediction double")
+    # null-label rows contribute to neither SSE nor SST -> same r2
+    assert regression_metrics(df1)["r2"] == pytest.approx(
+        regression_metrics(df2)["r2"], abs=1e-9)

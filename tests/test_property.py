@@ -124,3 +124,44 @@ def test_rank_metric_properties(spark, rows):
     df3 = df.withColumn("y", 1 - F.col("y"))
     m3 = rank_metrics_from_condensed(condensed_scores(df3, "y", "s")).collect()[0]
     assert abs((m3["roc_auc"] + m["roc_auc"]) - 1.0) < 1e-9
+
+
+@st.composite
+def condensed_tables(draw):
+    """Condensed (group, value, weight) tables: unique (g, v) keys,
+    optional null values, tie-heavy weights."""
+    n_groups = draw(st.integers(1, 3))
+    rows = []
+    for g in range(n_groups):
+        vals = draw(st.lists(
+            st.one_of(st.none(),
+                      st.floats(-1e6, 1e6, allow_nan=False, width=32)),
+            min_size=1, max_size=40, unique=True))
+        for v in vals:
+            rows.append((f"g{g}", v, draw(st.integers(1, 9))))
+    return rows
+
+
+@given(rows=condensed_tables(), nb=st.integers(1, 9))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partitioned_cumsum_property(spark, rows, nb):
+    """partitioned_cumsum == pandas groupwise cumsum (nulls first) for
+    ANY condensed table and ANY bucket count."""
+    from tanml_spark.operators.prefix import partitioned_cumsum
+
+    df = spark.createDataFrame(rows, "g string, v double, c long")
+    got = (
+        partitioned_cumsum(df, ["v"], ["c"], ("g",), n_buckets=nb)
+        .toPandas()
+        .sort_values(["g", "v"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "v", "c"]).sort_values(
+        ["g", "v"], na_position="first", kind="mergesort"
+    )
+    pdf["cum"] = pdf.groupby("g")["c"].cumsum()
+    pdf["tot"] = pdf.groupby("g")["c"].transform("sum")
+    pdf = pdf.reset_index(drop=True)
+    assert (got["__cum_c"].to_numpy() == pdf["cum"].to_numpy()).all()
+    assert (got["__tot_c"].to_numpy() == pdf["tot"].to_numpy()).all()

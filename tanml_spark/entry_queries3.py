@@ -646,6 +646,106 @@ GROUP BY 1, 2, 3
 """
 
 
+
+
+# ------------------- q: curation operators (r03, oracled)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (operators/curation.py): eval docs
+    are 60%-prefix substrings of training docs (simulated benchmark
+    leakage), flagged by best-match shingle CONTAINMENT >= 0.5. The
+    DuckDB oracle recomputes shingles, the containment ratio, and the
+    (containment desc, train_id asc) argmax from scratch."""
+    from tanml_spark.operators.curation import contamination_check
+
+    # the fixture parquet is a single small file (1 input split) —
+    # spread the shingling across cores; at corpus scale the input is
+    # already many splits and this repartition would be dropped
+    docs = _t(spark, sf_dir, "documents").repartition(64)
+    ev = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.substring(
+            "text", 1, F.floor(F.length("text") * 0.6).cast("int")
+        ).alias("text"),
+    )
+    out = contamination_check(docs, ev, threshold=0.5)
+    return out.select("eval_id", "train_id", "n_common",
+                      "n_eval_shingles", F.round("containment", 6)
+                      .alias("containment"))
+
+
+SQL_CONTAMINATION = r"""
+WITH tr AS (
+  SELECT doc_id AS id, text FROM documents
+), ev AS (
+  SELECT doc_id + 500000 AS id,
+         substring(text, 1, CAST(floor(length(text) * 0.6) AS INT)) AS text
+  FROM documents WHERE doc_id < 25
+), tsh AS (
+  SELECT DISTINCT id, unnest(sub.grams) AS shingle FROM (
+    SELECT id,
+      [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        AS grams
+    FROM (
+      SELECT id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> len(x) > 0) AS toks FROM tr
+    ) WHERE len(toks) >= 3
+  ) sub
+), esh AS (
+  SELECT DISTINCT id, unnest(sub.grams) AS shingle FROM (
+    SELECT id,
+      [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        AS grams
+    FROM (
+      SELECT id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> len(x) > 0) AS toks FROM ev
+    ) WHERE len(toks) >= 3
+  ) sub
+), sizes AS (
+  SELECT id, count(*) AS n_ev FROM esh GROUP BY id
+), common AS (
+  SELECT e.id AS eval_id, t.id AS train_id, count(*) AS n_common
+  FROM esh e JOIN tsh t ON e.shingle = t.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT eval_id, train_id, n_common, s.n_ev AS n_eval_shingles,
+         round(n_common * 1.0 / s.n_ev, 9) AS cont9,
+         row_number() OVER (PARTITION BY eval_id
+                            ORDER BY n_common * 1.0 / s.n_ev DESC,
+                                     train_id ASC) AS rk
+  FROM common JOIN sizes s ON s.id = common.eval_id
+)
+SELECT eval_id, train_id, n_common, n_eval_shingles,
+       round(cont9, 6) AS containment
+FROM scored WHERE rk = 1 AND cont9 >= 0.5
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (operators/curation.py) for
+    corpus mixing: exactly floor(0.4 * n_lang) documents per language,
+    chosen by ascending md5(doc_id) — the PORTABLE hash lets DuckDB
+    regenerate the identical sample row-for-row."""
+    from tanml_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", 0.4, key_cols=["doc_id"],
+                            mode="exact")
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT doc_id, lang FROM r WHERE rk <= floor(n * 0.4)
+"""
+
+
 def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cv_metrics": q_cv_metrics,
@@ -659,6 +759,8 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_impute": q_knn_impute,
         "kendall_dominance": q_kendall_dominance,
         "stream_hourly": q_stream_hourly,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
         "range_join": q_range_join,
     }
 
@@ -676,5 +778,7 @@ def all_oracles3() -> dict[str, str]:
         "knn_impute": SQL_KNN_IMPUTE,
         "kendall_dominance": SQL_KENDALL_DOMINANCE,
         "stream_hourly": SQL_STREAM_HOURLY,
+        "contamination": SQL_CONTAMINATION,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "range_join": SQL_RANGE_JOIN,
     }

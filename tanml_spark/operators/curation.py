@@ -1,0 +1,145 @@
+"""Training-data curation operators: decontamination + sampling.
+
+Two first-class LLM-pipeline operations the reference has no analog
+for (engine additions, like the dedup/ANN family):
+
+- ``contamination_check``: cross-corpus n-gram decontamination — for
+  every EVAL document, the training document with the highest shingle
+  CONTAINMENT |train ∩ eval| / |eval| (the standard benchmark-leakage
+  metric: an eval item quoted inside a larger training document scores
+  ~1.0 even though plain Jaccard would be diluted). Same scale shape
+  as operators/dedup.py's jaccard path: explode + shingle equi-join
+  (shuffle on shingles, never on the pair space), optional train-side
+  document-frequency cap for boilerplate shingles.
+
+- ``stratified_sample``: deterministic per-stratum sampling for corpus
+  mixing. Two modes:
+  * ``exact``  — every stratum contributes exactly
+    floor(fraction · n_stratum) rows, chosen by ranking on a PORTABLE
+    content hash (md5 hex — reproducible in any engine, used by the
+    DuckDB oracle). The rank window sorts within each stratum.
+  * ``hash``   — keep rows whose hash falls below the fraction of the
+    hash space: no sort, no window, one projection — the 10^12-row
+    path; per-stratum counts are exact in expectation, binomial in
+    realization.
+  Both are pure functions of row content — identical samples at any
+  parallelism, re-runnable for resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tanml_spark.operators.dedup import shingles_of_tokens
+from tanml_spark.operators.text import tokens
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(eval_id, train_id, n_common, n_eval_shingles, containment) for
+    every eval document whose BEST-matching training document reaches
+    ``containment >= threshold``. Ties on containment break by lowest
+    train_id (deterministic across parallelism).
+
+    ``max_df`` drops shingles present in more than that many TRAINING
+    docs from the join (boilerplate guard; capped shingles still count
+    in |eval|, so containment is a lower bound for affected pairs).
+    """
+    # NO size()>0 filter here: predicate pushdown would re-inline the
+    # whole shingle expression into a scan-level filter (evaluated
+    # serially below any repartition, and twice per row). explode()
+    # already drops empty arrays, and the sizes side only meets eval
+    # ids through inner joins from exploded rows.
+    tr = corpus.select(
+        F.col(id_col).alias("train_id"), tokens(F.col(text_col)).alias("__tok")
+    ).select(
+        "train_id", shingles_of_tokens(F.col("__tok"), shingle_n).alias("sh")
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), tokens(F.col(text_col)).alias("__tok")
+    ).select(
+        "eval_id", shingles_of_tokens(F.col("__tok"), shingle_n).alias("sh")
+    )
+
+    tr_x = tr.select("train_id", F.explode("sh").alias("shingle")).distinct()
+    if max_df is not None:
+        dfreq = tr_x.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        tr_x = tr_x.join(
+            F.broadcast(dfreq.filter(F.col("__df") <= max_df))
+            if max_df < 100_000 else dfreq.filter(F.col("__df") <= max_df),
+            "shingle",
+        ).select("train_id", "shingle")
+    ev_sizes = ev.select(  # sh is already distinct (shingles_of_tokens)
+        "eval_id", F.size("sh").alias("n_eval_shingles")
+    )
+    ev_x = ev.select("eval_id", F.explode("sh").alias("shingle")).distinct()
+
+    common = (
+        ev_x.join(tr_x, "shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = common.join(ev_sizes, "eval_id").withColumn(
+        "containment",
+        F.round(F.col("n_common") / F.col("n_eval_shingles"), 9),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("containment"), F.asc("train_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") == 1) & (F.col("containment") >= threshold))
+        .select("eval_id", "train_id", "n_common", "n_eval_shingles",
+                "containment")
+    )
+
+
+def _portable_hash(cols: list[str]):
+    """md5 hex over position-tagged values — identical in Spark and
+    DuckDB (the fingerprints md5-mode trick), null-safe."""
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    key_cols: list[str] | None = None,
+    mode: str = "exact",
+) -> DataFrame:
+    """Deterministic stratified sample (see module docstring).
+
+    ``key_cols``: columns hashed to order/select rows (default: every
+    column — full content). exact mode: floor(fraction · n) rows per
+    stratum by ascending md5; hash mode: md5 < fraction of the hash
+    space (scan-only, the corpus-scale path).
+    """
+    key_cols = key_cols or list(df.columns)
+    h = _portable_hash(key_cols)
+    d = df.withColumn("__h", h)
+    if mode == "exact":
+        w = Window.partitionBy(strata_col).orderBy("__h")
+        n_w = Window.partitionBy(strata_col)
+        return (
+            d.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(n_w))
+            .filter(F.col("__rk") <= F.floor(F.col("__n") * fraction))
+            .drop("__h", "__rk", "__n")
+        )
+    if mode == "hash":
+        # first 15 hex chars -> 60-bit integer, uniform on [0, 2^60)
+        bound = int(fraction * (1 << 60))
+        keep = F.conv(F.substring("__h", 1, 15), 16, 10).cast("decimal(20,0)") < bound
+        return d.filter(keep).drop("__h")
+    raise ValueError(f"unknown mode: {mode}")

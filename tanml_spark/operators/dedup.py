@@ -53,15 +53,28 @@ def exact_dup_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return j.filter(F.col(id_col) != F.col("keep_id"))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings (empty when < n words)."""
-    tok = tokens(col)
+def shingles_of_tokens(tok: Column, n: int = 3) -> Column:
+    """n-gram shingles from an ALREADY-MATERIALIZED token array column.
+
+    Callers must project ``tokens(text)`` into its own column first
+    (two chained selects — CollapseProject keeps the projection because
+    the token array is referenced many times): referencing the raw
+    tokenizer inside the transform lambda re-evaluates the regex split
+    PER SHINGLE (~10x slower on real documents)."""
     cnt = F.size(tok)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)))
     return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (empty when < n
+    words). NOTE: inlines the tokenizer — prefer projecting
+    ``tokens(col)`` first and using ``shingles_of_tokens`` (see its
+    docstring) on hot paths."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def minhash_signatures(
@@ -77,7 +90,9 @@ def minhash_signatures(
     shingling expression appears once in the plan, not once per seed
     — Catalyst keeps the split because the alias is multiply used."""
     base = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+        F.col(id_col), tokens(F.col(text_col)).alias("__tok")
+    ).select(
+        F.col(id_col), shingles_of_tokens(F.col("__tok"), shingle_n).alias("__sh")
     )
     # one nested transform, not num_hashes parallel expressions: the
     # "seed" is an ordinary hashed column (xxhash64(g, s) hashes the
@@ -170,7 +185,9 @@ def jaccard_pairs(
     """
     shingles = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh_arr"),
+        tokens(F.col(text_col)).alias("__tok"),
+    ).select(
+        "id", shingles_of_tokens(F.col("__tok"), shingle_n).alias("sh_arr")
     ).filter(F.size("sh_arr") > 0)
 
     if candidates is not None:

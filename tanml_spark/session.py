@@ -35,6 +35,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("TANML_SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes size(e)>0 filters under
+        # every explode; predicate pushdown then re-inlines the full
+        # generator expression into a scan-level filter — for this
+        # engine's exploded shingle/band arrays that means evaluating
+        # the (expensive, HOF-interpreted) shingling twice, and BELOW
+        # any repartition (serially on few input splits). Our explodes
+        # are always fed by already-guarded arrays, so the rule never
+        # prunes a row here — pure overhead, excluded.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

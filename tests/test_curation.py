@@ -1,0 +1,97 @@
+"""Curation operators: cross-corpus decontamination + stratified
+sampling (operators/curation.py), vs python brute-force references."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.operators.curation import (contamination_check,
+                                            stratified_sample)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "spark makes distributed data processing simple and fast today"),
+    (2, "one two three four five six seven eight nine ten eleven twelve"),
+    (3, "completely unrelated content about cooking pasta with garlic"),
+]
+
+
+def _sh(text, n=3):
+    toks = [t for t in text.strip().lower().split() if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    evals = [
+        (100, "quick brown fox jumps over the lazy dog"),      # subset of 0
+        (101, "distributed data processing simple and fast"),  # subset of 1
+        (102, "nothing in common with any training document"),
+    ]
+    ev = spark.createDataFrame(evals, "doc_id long, text string")
+    return corpus, ev, evals
+
+
+def test_contamination_matches_bruteforce(corpora):
+    corpus, ev, evals = corpora
+    got = {r["eval_id"]: r for r in
+           contamination_check(corpus, ev, threshold=0.5).collect()}
+    for eid, text in evals:
+        esh = _sh(text)
+        best = max(
+            ((len(esh & _sh(t)) / len(esh), did) for did, t in DOCS),
+            key=lambda x: (x[0], -x[1]),
+        )
+        if best[0] >= 0.5:
+            assert eid in got, eid
+            assert got[eid]["containment"] == pytest.approx(best[0], abs=1e-9)
+            assert got[eid]["train_id"] == best[1]
+        else:
+            assert eid not in got
+    # the clean eval doc is never flagged
+    assert 102 not in got
+
+
+def test_stratified_exact_quota_and_determinism(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", 0.4, key_cols=["doc_id"])
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"a": 40, "b": 40, "c": 40}  # floor(0.4 * 100)
+    # deterministic across partitioning AND equals the md5-rank reference
+    again = stratified_sample(df.repartition(13), "lang", 0.4,
+                              key_cols=["doc_id"])
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+    by_lang = {}
+    for i, lang in rows:
+        by_lang.setdefault(lang, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i))
+    expected = sorted(
+        i for lang, hs in by_lang.items()
+        for _, i in sorted(hs)[: math.floor(0.4 * len(hs))]
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == expected
+
+
+def test_stratified_hash_mode_deterministic_and_unbiased(spark):
+    rows = [(i, "x") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", 0.3, key_cols=["doc_id"],
+                            mode="hash")
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), "lang", 0.3,
+                                   key_cols=["doc_id"], mode="hash").collect()
+    )
+    assert ids1 == ids2
+    # binomial(5000, 0.3): 5 sigma ~ 160
+    assert abs(len(ids1) - 1500) < 170
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-only: no shuffle, no window

@@ -735,14 +735,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STRATIFIED_SAMPLE = """
 WITH t AS (
-  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents
+  SELECT doc_id, lang,
+         md5('V' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR) AS h
+  FROM documents
 ), r AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang ORDER BY h) AS rk,
          count(*) OVER (PARTITION BY lang) AS n
   FROM t
 )
-SELECT doc_id, lang FROM r WHERE rk <= floor(n * 0.4)
+SELECT doc_id, lang FROM r WHERE rk <= (n * 400000000) // 1000000000
 """
 
 

@@ -69,18 +69,27 @@ def contamination_check(
         "eval_id", shingles_of_tokens(F.col("__tok"), shingle_n).alias("sh")
     )
 
-    tr_x = tr.select("train_id", F.explode("sh").alias("shingle")).distinct()
+    # exploded pairs are already unique per doc (shingles_of_tokens
+    # array_distincts) — no .distinct() re-shuffle of the largest
+    # intermediate needed
+    tr_x = tr.select("train_id", F.explode("sh").alias("shingle"))
     if max_df is not None:
-        dfreq = tr_x.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        tr_x = tr_x.join(
-            F.broadcast(dfreq.filter(F.col("__df") <= max_df))
-            if max_df < 100_000 else dfreq.filter(F.col("__df") <= max_df),
-            "shingle",
-        ).select("train_id", "shingle")
+        # broadcast the BLOCKLIST (shingles with df > max_df) — small
+        # by construction under any Zipfian vocabulary — and anti-join;
+        # broadcasting the allowlist would ship ~the whole vocabulary.
+        # (df computation is one extra pass over the exploded corpus —
+        # inherent to knowing document frequencies.)
+        block = (
+            tr_x.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        tr_x = tr_x.join(F.broadcast(block), "shingle", "left_anti")
     ev_sizes = ev.select(  # sh is already distinct (shingles_of_tokens)
         "eval_id", F.size("sh").alias("n_eval_shingles")
     )
-    ev_x = ev.select("eval_id", F.explode("sh").alias("shingle")).distinct()
+    ev_x = ev.select("eval_id", F.explode("sh").alias("shingle"))
 
     common = (
         ev_x.join(tr_x, "shingle")
@@ -103,12 +112,22 @@ def contamination_check(
 
 
 def _portable_hash(cols: list[str]):
-    """md5 hex over position-tagged values — identical in Spark and
-    DuckDB (the fingerprints md5-mode trick), null-safe."""
+    """md5 hex over LENGTH-PREFIXED values — identical in Spark and
+    DuckDB (the fingerprints md5-mode trick), and unambiguous: each
+    column encodes as 'V<len>:<value>' (or 'N:' for NULL), so values
+    containing separator bytes, or NULL vs a sentinel-looking string,
+    can never collide across distinct rows. SQL mirror:
+    md5('V' || length(x::VARCHAR) || ':' || x::VARCHAR || ...)."""
     parts = []
     for c in cols:
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
-    return F.md5(F.concat_ws("\x01", *parts))
+        v = F.col(c).cast("string")
+        parts.append(
+            F.when(v.isNull(), F.lit("N:")).otherwise(
+                F.concat(F.lit("V"), F.length(v).cast("string"),
+                         F.lit(":"), v)
+            )
+        )
+    return F.md5(F.concat(*parts))
 
 
 def stratified_sample(
@@ -131,10 +150,17 @@ def stratified_sample(
     if mode == "exact":
         w = Window.partitionBy(strata_col).orderBy("__h")
         n_w = Window.partitionBy(strata_col)
+        # quota in INTEGER arithmetic: floor(n * round(fraction*1e9) /
+        # 1e9) via bigint `div` — a double multiply (n * 0.7 =
+        # 6.999...) would short some strata by one row. The fraction is
+        # interpreted at 9 dp; exact up to ~9.2e9 rows per stratum
+        # (bigint overflow bound — cast to decimal beyond).
+        num = int(round(fraction * 10**9))
+        quota = F.expr(f"__n * {num}L div 1000000000L")
         return (
             d.withColumn("__rk", F.row_number().over(w))
             .withColumn("__n", F.count(F.lit(1)).over(n_w))
-            .filter(F.col("__rk") <= F.floor(F.col("__n") * fraction))
+            .filter(F.col("__rk") <= quota)
             .drop("__h", "__rk", "__n")
         )
     if mode == "hash":

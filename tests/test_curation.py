@@ -70,8 +70,9 @@ def test_stratified_exact_quota_and_determinism(spark):
            sorted(r["doc_id"] for r in again.collect())
     by_lang = {}
     for i, lang in rows:
+        enc = f"V{len(str(i))}:{i}".encode()
         by_lang.setdefault(lang, []).append(
-            (hashlib.md5(str(i).encode()).hexdigest(), i))
+            (hashlib.md5(enc).hexdigest(), i))
     expected = sorted(
         i for lang, hs in by_lang.items()
         for _, i in sorted(hs)[: math.floor(0.4 * len(hs))]
@@ -95,3 +96,17 @@ def test_stratified_hash_mode_deterministic_and_unbiased(spark):
     assert abs(len(ids1) - 1500) < 170
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # scan-only: no shuffle, no window
+
+
+def test_stratified_exact_quota_no_ieee_shortfall(spark):
+    """fraction=0.7 on a 10-row stratum must yield exactly 7 rows —
+    a double multiply (10 * 0.7 = 6.999...) would floor to 6."""
+    df = spark.createDataFrame([(i, "s") for i in range(10)],
+                               "doc_id long, lang string")
+    out = stratified_sample(df, "lang", 0.7, key_cols=["doc_id"])
+    assert out.count() == 7
+    # and 0.29 * 100 -> 29, not 28
+    df2 = spark.createDataFrame([(i, "s") for i in range(100)],
+                                "doc_id long, lang string")
+    assert stratified_sample(df2, "lang", 0.29,
+                             key_cols=["doc_id"]).count() == 29

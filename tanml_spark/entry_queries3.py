@@ -559,6 +559,89 @@ FROM ranked WHERE rn <= 5 GROUP BY rk
 """
 
 
+# ----------------------- q: KNN impute, LSH scale mode (r04, oracled)
+def q_knn_impute_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_impute(mode="lsh")`` — the 100-TB candidate-generation
+    path — under the hash gate (r03 VERDICT next-step #1: the oracled
+    path was the non-scalable exact mode).
+
+    Provable-recall construction (the lsh_topk twin-point trick
+    adapted to imputation): rows live in 8 tight clusters at the
+    corners of the cube {−1,+1}³ in (e, d, x), each member perturbed
+    by ≤ 1e-3 per coordinate. Only q is ever missing, so with
+    ``hash_cols=["e","d","x"]`` the sign-LSH hashing vector is the
+    standardized predictor triple: cluster-mates are hash twins
+    (pairwise angle θ ≤ ~2·10⁻³/√3 rad after standardization — the
+    balanced ±1 design keeps every standardized center at norm ≈ √3,
+    never near the origin where angles blow up), while the true 5
+    nearest donors of every needy row ARE cluster-mates (within-
+    cluster nan-euclidean ≤ ~5e-3, cross-cluster ≥ ~2.3). Per-pair
+    bucket-collision miss probability ≈ (4θ/π)^8 < 1e-22 across
+    8 tables × 4 bits, so the LSH candidate set provably contains the
+    exact k-NN and the result equals DuckDB's exhaustive recompute."""
+    from tanml_spark.operators.impute_knn import knn_impute
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0)
+    d0 = li.groupBy(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk")
+    ).agg(F.min(F.col("l_quantity").cast("double")).alias("q0"))
+    d = d0.select(
+        "rk",
+        F.when(F.col("rk") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("q0")).alias("q"),
+        F.expr("cast((rk % 2) * 2 - 1 as double)"
+               " + ((rk * 7919) % 1000) * 1e-6").alias("e"),
+        F.expr("cast(((rk div 2) % 2) * 2 - 1 as double)"
+               " + ((rk * 104729) % 1000) * 1e-6").alias("d"),
+        F.expr("cast(((rk div 4) % 2) * 2 - 1 as double)"
+               " + ((rk * 15485863) % 1000) * 1e-6").alias("x"),
+    )
+    out = knn_impute(
+        d, ["q", "e", "d", "x"], k=5, mode="lsh", id_col="rk",
+        hash_cols=["e", "d", "x"], n_tables=8, n_bits=4,
+        max_bucket=200_000,  # buckets ARE the 8 clusters at any sf
+    )
+    return out.filter(F.col("__imputed_q")).select(
+        "rk", F.round("q", 6).alias("q_imputed")
+    )
+
+
+SQL_KNN_IMPUTE_LSH = """
+WITH t0 AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rk,
+         min(l_quantity::DOUBLE) AS q0
+  FROM lineitem WHERE l_orderkey % 37 = 0
+  GROUP BY 1
+), t AS (
+  SELECT rk,
+         CASE WHEN rk % 11 = 0 THEN NULL ELSE q0 END AS q,
+         CAST((rk % 2) * 2 - 1 AS DOUBLE)
+           + ((rk * 7919) % 1000) * 1e-6 AS e,
+         CAST(((rk // 2) % 2) * 2 - 1 AS DOUBLE)
+           + ((rk * 104729) % 1000) * 1e-6 AS d,
+         CAST(((rk // 4) % 2) * 2 - 1 AS DOUBLE)
+           + ((rk * 15485863) % 1000) * 1e-6 AS x
+  FROM t0
+), needy AS (
+  SELECT * FROM t WHERE q IS NULL
+), donors AS (
+  SELECT * FROM t WHERE q IS NOT NULL
+), pairs AS (
+  SELECT n.rk, dn.q AS dq, dn.rk AS did,
+         sqrt(4.0 / 3.0 * ((n.e - dn.e) * (n.e - dn.e)
+                           + (n.d - dn.d) * (n.d - dn.d)
+                           + (n.x - dn.x) * (n.x - dn.x))) AS dist
+  FROM needy n JOIN donors dn ON n.rk <> dn.rk
+), ranked AS (
+  SELECT rk, dq,
+         row_number() OVER (PARTITION BY rk ORDER BY dist ASC, did ASC) AS rn
+  FROM pairs
+)
+SELECT rk, round(avg(dq), 6) AS q_imputed
+FROM ranked WHERE rn <= 5 GROUP BY rk
+"""
+
+
 # ---------------------- q: Kendall via dominance counting (r03, oracled)
 def q_kendall_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kendall tau-b over a CONTINUOUS pair (l_extendedprice is
@@ -759,6 +842,7 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "knn_impute": q_knn_impute,
+        "knn_impute_lsh": q_knn_impute_lsh,
         "kendall_dominance": q_kendall_dominance,
         "stream_hourly": q_stream_hourly,
         "contamination": q_contamination,
@@ -778,6 +862,7 @@ def all_oracles3() -> dict[str, str]:
         "lsh_topk": SQL_LSH_TOPK,
         "ivf_topk": SQL_IVF_TOPK,
         "knn_impute": SQL_KNN_IMPUTE,
+        "knn_impute_lsh": SQL_KNN_IMPUTE_LSH,
         "kendall_dominance": SQL_KENDALL_DOMINANCE,
         "stream_hourly": SQL_STREAM_HOURLY,
         "contamination": SQL_CONTAMINATION,

@@ -26,7 +26,11 @@ Two candidate-generation strategies:
 - ``mode="exact"``: needy rows (any missing target) are broadcast
   against all donors — exact KNN. Scales when the MISSING side is
   small (needy × donors pair stream, needy side broadcast); the usual
-  production case for imputation audits.
+  production case for imputation audits. The broadcast is GUARDED:
+  the fused stats pass counts needy rows, and a needy side above
+  ``max_broadcast_needy`` raises with a pointer to the scale modes
+  (r03 ADVICE #1 — nothing used to bound the driver/executor memory
+  the broadcast consumed).
 - ``mode="lsh"``: sign-LSH buckets over mean-imputed standardized
   features (the operators/similarity machinery: broadcast numpy
   hyperplanes in an Arrow pandas_udf) restrict candidates to bucket
@@ -34,12 +38,26 @@ Two candidate-generation strategies:
   scalable: every join is a (table, bucket) equi-join with a
   max-bucket skew guard, never a cross join. Neighbor quality
   degrades gracefully (near rows collide with high probability).
+  ``hash_cols`` restricts the hashing vector to a column subset —
+  when missingness is concentrated in known target columns (the
+  audit norm), hashing only the always-present predictors makes a
+  needy row and its donors true hash twins instead of differing in
+  the mean-imputed coordinate, and makes recall PROVABLE for
+  clustered fixtures (the lsh_topk twin-point trick, exercised by
+  the ``knn_impute_lsh`` driver oracle).
+- ``mode="auto"``: exact while the needy side fits the broadcast
+  budget, LSH beyond it — the 100-TB default.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+MAX_BROADCAST_NEEDY = 2_000_000  # exact-mode needy-row broadcast budget
+                                 # (~2M rows × k doubles ≈ low hundreds
+                                 # of MB — the hinted-broadcast ceiling)
 
 
 def knn_impute(
@@ -51,6 +69,8 @@ def knn_impute(
     n_tables: int = 8,
     n_bits: int = 8,
     max_bucket: int = 2000,
+    hash_cols: list[str] | None = None,
+    max_broadcast_needy: int = MAX_BROADCAST_NEEDY,
 ) -> DataFrame:
     """Impute every missing cell of ``feature_cols`` (sklearn
     KNNImputer semantics, uniform weights). Returns the input with each
@@ -62,6 +82,8 @@ def knn_impute(
     rows, which are interchangeable as donors anyway).
     """
     n_feat = len(feature_cols)
+    if hash_cols and not set(hash_cols) <= set(feature_cols):
+        raise ValueError("hash_cols must be a subset of feature_cols")
     fc = {c: F.col(c).cast("double") for c in feature_cols}
     if id_col is None:
         # position-preserving content hash: Spark hash functions SKIP
@@ -77,14 +99,28 @@ def knn_impute(
     else:
         base = df.withColumn("__rid", F.col(id_col))
 
-    # column means (fallback) + missing counts in ONE fused agg
+    # column means (fallback) + missing counts + NEEDY-row count (the
+    # exact-mode broadcast guard) in ONE fused agg
+    any_null = fc[feature_cols[0]].isNull()
+    for c in feature_cols[1:]:
+        any_null = any_null | fc[c].isNull()
     stats_row = base.agg(
         *[F.avg(fc[c]).alias(f"m_{c}") for c in feature_cols],
         *[F.sum(fc[c].isNull().cast("long")).alias(f"miss_{c}")
           for c in feature_cols],
+        F.sum(any_null.cast("long")).alias("n_needy"),
     ).collect()[0]
     col_mean = {c: stats_row[f"m_{c}"] for c in feature_cols}
     missing_cols = [c for c in feature_cols if (stats_row[f"miss_{c}"] or 0) > 0]
+    n_needy = stats_row["n_needy"] or 0
+    if mode == "auto":
+        mode = "exact" if n_needy <= max_broadcast_needy else "lsh"
+    elif mode == "exact" and n_needy > max_broadcast_needy:
+        raise ValueError(
+            f"mode='exact' broadcasts the needy side, but {n_needy} needy "
+            f"rows exceed max_broadcast_needy={max_broadcast_needy}; use "
+            "mode='lsh' (bucketed, scalable) or mode='auto'"
+        )
     if not missing_cols:  # nothing to impute: markers + passthrough
         sel = [col for col in df.columns if col not in feature_cols]
         for c in feature_cols:
@@ -112,11 +148,12 @@ def knn_impute(
         from tanml_spark.operators.similarity import lsh_buckets_udf
 
         spark = df.sparkSession
+        h_cols = hash_cols or feature_cols
         sd_row = base.agg(
-            *[F.stddev_pop(fc[c]).alias(f"s_{c}") for c in feature_cols]
+            *[F.stddev_pop(fc[c]).alias(f"s_{c}") for c in h_cols]
         ).collect()[0]
-        mu = {c: col_mean[c] or 0.0 for c in feature_cols}
-        sd = {c: (sd_row[f"s_{c}"] or 1.0) or 1.0 for c in feature_cols}
+        mu = {c: col_mean[c] or 0.0 for c in h_cols}
+        sd = {c: (sd_row[f"s_{c}"] or 1.0) or 1.0 for c in h_cols}
 
         def std_of(colmap: dict[str, str]):
             # standardized, mean-imputed hashing vector (missing -> 0,
@@ -126,10 +163,10 @@ def knn_impute(
                     (F.col(colmap[c]) - F.lit(mu[c])) / F.lit(sd[c]),
                     F.lit(0.0),
                 )
-                for c in feature_cols
+                for c in h_cols
             ])
 
-        buckets = lsh_buckets_udf(spark, n_feat, n_tables, n_bits)
+        buckets = lsh_buckets_udf(spark, len(h_cols), n_tables, n_bits)
         n_sig = needy.select(
             "*", F.posexplode(buckets(std_of(ncols))).alias("table", "bucket")
         )

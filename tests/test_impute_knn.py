@@ -108,6 +108,62 @@ def test_no_missing_is_identity(spark):
         assert not got[f"__imputed_{c}"].any()
 
 
+def test_exact_mode_broadcast_guard(credit_missing):
+    """r03 ADVICE #1: exact mode must refuse to broadcast an unbounded
+    needy side; auto mode dispatches to LSH instead of raising."""
+    pdf, df = credit_missing
+    with pytest.raises(ValueError, match="max_broadcast_needy"):
+        knn_impute(df, COLS, k=5, mode="exact", id_col="id",
+                   max_broadcast_needy=3).toPandas()
+    out = knn_impute(df, COLS, k=5, mode="auto", id_col="id",
+                     max_broadcast_needy=3, n_tables=8, n_bits=4)
+    got = out.toPandas()
+    for c in COLS:
+        assert got[c].notna().all()
+
+
+def test_auto_mode_small_needy_is_exact(credit_missing):
+    """auto with a roomy budget must equal the exact path bit-for-bit."""
+    pdf, df = credit_missing
+    exact = (
+        knn_impute(df, COLS, k=5, mode="exact", id_col="id")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    auto = (
+        knn_impute(df, COLS, k=5, mode="auto", id_col="id")
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    for c in COLS:
+        assert np.allclose(exact[c].to_numpy(), auto[c].to_numpy())
+
+
+def test_lsh_hash_cols_twin_clusters_exact_recall(spark):
+    """The knn_impute_lsh driver-oracle construction in miniature:
+    8 cube-corner clusters in the always-present predictors, missing
+    values only in the target column, hash_cols = predictors. The LSH
+    result must EQUAL exact KNN (cluster-mates are hash twins; true
+    k-NN are cluster-mates)."""
+    rng = np.random.default_rng(7)
+    n = 400
+    g = np.arange(n) % 8
+    e = (g % 2) * 2 - 1 + rng.uniform(0, 1e-3, n)
+    d = ((g // 2) % 2) * 2 - 1 + rng.uniform(0, 1e-3, n)
+    x = ((g // 4) % 2) * 2 - 1 + rng.uniform(0, 1e-3, n)
+    q = rng.normal(10, 2, n)
+    q[np.arange(n) % 9 == 0] = np.nan
+    pdf = pd.DataFrame({"id": np.arange(n), "q": q, "e": e, "d": d, "x": x})
+    df = spark.createDataFrame(pdf)
+    kw = dict(k=5, id_col="id", n_tables=8, n_bits=4,
+              hash_cols=["e", "d", "x"])
+    exact = (knn_impute(df, ["q", "e", "d", "x"], mode="exact", **kw)
+             .toPandas().sort_values("id").reset_index(drop=True))
+    lsh = (knn_impute(df, ["q", "e", "d", "x"], mode="lsh", **kw)
+           .toPandas().sort_values("id").reset_index(drop=True))
+    assert np.allclose(exact["q"].to_numpy(), lsh["q"].to_numpy(), atol=1e-12)
+    with pytest.raises(ValueError, match="hash_cols"):
+        knn_impute(df, ["q", "e"], mode="lsh", hash_cols=["nope"])
+
+
 def test_content_rid_distinguishes_null_positions(spark):
     """Spark hash functions skip NULL inputs; the synthesized row id
     must still distinguish (null, 7.0) from (7.0, null)."""

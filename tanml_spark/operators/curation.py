@@ -35,6 +35,16 @@ from tanml_spark.operators.dedup import shingles_of_tokens
 from tanml_spark.operators.text import tokens
 
 
+MAX_SHINGLE_DF = 100_000  # default boilerplate cap: a shingle present in
+                          # more than this many TRAINING docs joins every
+                          # eval occurrence against ALL of them — Zipfian
+                          # vocabularies (license headers, codegen
+                          # banners) make the equi-join quadratic in
+                          # document frequency without a cap (r03 VERDICT
+                          # next-step #2: the classic decontamination
+                          # skew-bomb).
+
+
 def contamination_check(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -42,16 +52,23 @@ def contamination_check(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(eval_id, train_id, n_common, n_eval_shingles, containment) for
     every eval document whose BEST-matching training document reaches
     ``containment >= threshold``. Ties on containment break by lowest
-    train_id (deterministic across parallelism).
+    train_id (deterministic across parallelism). Ranking and the
+    threshold test use the EXACT ratio n_common/n_eval_shingles
+    (rounded to 9 dp only for the threshold test and the output
+    projection, mirroring the DuckDB oracle) — r03 ADVICE #2: rounding
+    before the argmax could flip near-tie winners.
 
-    ``max_df`` drops shingles present in more than that many TRAINING
-    docs from the join (boilerplate guard; capped shingles still count
-    in |eval|, so containment is a lower bound for affected pairs).
+    ``max_df`` (default ``MAX_SHINGLE_DF``; pass None to disable at
+    your own risk) drops shingles present in more than that many
+    TRAINING docs from the join — the skew guard that bounds join
+    output to |eval occurrences| × max_df per shingle. Capped shingles
+    still count in |eval|, so containment is a lower bound for
+    affected pairs.
     """
     # NO size()>0 filter here: predicate pushdown would re-inline the
     # whole shingle expression into a scan-level filter (evaluated
@@ -97,17 +114,18 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     scored = common.join(ev_sizes, "eval_id").withColumn(
-        "containment",
-        F.round(F.col("n_common") / F.col("n_eval_shingles"), 9),
+        "__cont", F.col("n_common") / F.col("n_eval_shingles")
     )
+    # rank on the EXACT ratio; round only for the threshold test and
+    # the final projection (the oracle's ORDER BY is unrounded too)
     w = Window.partitionBy("eval_id").orderBy(
-        F.desc("containment"), F.asc("train_id")
+        F.desc("__cont"), F.asc("train_id")
     )
     return (
         scored.withColumn("__rk", F.row_number().over(w))
-        .filter((F.col("__rk") == 1) & (F.col("containment") >= threshold))
+        .filter((F.col("__rk") == 1) & (F.round("__cont", 9) >= threshold))
         .select("eval_id", "train_id", "n_common", "n_eval_shingles",
-                "containment")
+                F.round("__cont", 9).alias("containment"))
     )
 
 

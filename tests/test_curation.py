@@ -56,6 +56,84 @@ def test_contamination_matches_bruteforce(corpora):
     assert 102 not in got
 
 
+def test_contamination_max_df_defuses_boilerplate_skew(spark):
+    """The decontamination skew-bomb (r03 VERDICT next-step #2): one
+    boilerplate shingle planted in 50% of training docs makes the
+    shingle equi-join quadratic in document frequency. With max_df the
+    hot shingle is dropped BEFORE the join — candidate-pair output
+    stays bounded — while TRUE containment matches remain flagged (their
+    n_common loses only the boilerplate shingle, a documented lower
+    bound)."""
+    n_train = 200
+    boiler = "licensed under apache two"  # 4 tokens -> 2 trigram shingles
+    docs = []
+    for i in range(n_train):
+        body = f"unique content piece number {i} alpha beta gamma delta"
+        # half the corpus carries the boilerplate header
+        docs.append((i, (boiler + " " + body) if i % 2 == 0 else body))
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    # eval 900 quotes doc 7's body (true contamination); eval 901 is
+    # ONLY boilerplate (must not be flagged once the cap removes it)
+    ev = spark.createDataFrame(
+        [(900, "content piece number 7 alpha beta gamma"),
+         (901, boiler)],
+        "doc_id long, text string",
+    )
+
+    capped = contamination_check(corpus, ev, threshold=0.5, max_df=10)
+    rows = {r["eval_id"]: r for r in capped.collect()}
+    assert 900 in rows and rows[900]["train_id"] == 7
+    assert 901 not in rows  # boilerplate-only eval produces NO pairs
+
+    # the join's candidate space is bounded: recompute both pair counts
+    # via the brute-force definition
+    def shingles(t):
+        toks = [x for x in t.strip().lower().split() if x]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    tr_sh = {i: shingles(t) for i, t in docs}
+    df_count = {}
+    for sh_set in tr_sh.values():
+        for s in sh_set:
+            df_count[s] = df_count.get(s, 0) + 1
+    hot = {s for s, c in df_count.items() if c > 10}
+    assert hot, "fixture must actually contain capped shingles"
+    ev_sh = {900: shingles("content piece number 7 alpha beta gamma"),
+             901: shingles(boiler)}
+    pairs_uncapped = sum(
+        1 for esh in ev_sh.values() for tsh in tr_sh.values() if esh & tsh
+    )
+    pairs_capped = sum(
+        1 for esh in ev_sh.values() for tsh in tr_sh.values()
+        if (esh - hot) & (tsh - hot)
+    )
+    # the hot shingle alone connected eval 901 to ~half the corpus
+    assert pairs_uncapped >= n_train // 2
+    assert pairs_capped <= 2  # only the true quote joins post-cap
+    # engine agrees with the capped brute force on surviving pairs
+    assert len(rows) == 1
+
+
+def test_contamination_ranks_on_exact_ratio(spark):
+    """r03 ADVICE #2: the argmax must order by the unrounded ratio.
+    Two candidates with containments differing only in the 12th decimal
+    place still pick the true maximum (not the rounded tie's lower
+    train_id)."""
+    # eval has 7 shingles; train 0 shares 6 of 7, train 1 shares 6 of 7
+    # -> exact tie broken by train_id 0. Then a 7-of-7 doc must win
+    # regardless of id order.
+    ev_text = "a b c d e f g h i"          # 7 trigram shingles
+    full = ev_text                          # shares all 7
+    partial = "a b c d e f g h zz"          # shares 6 of 7
+    corpus = spark.createDataFrame(
+        [(5, full), (1, partial), (2, partial)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(99, ev_text)], "doc_id long, text string")
+    got = contamination_check(corpus, ev, threshold=0.5, max_df=None).collect()
+    assert len(got) == 1
+    assert got[0]["train_id"] == 5 and got[0]["containment"] == 1.0
+
+
 def test_stratified_exact_quota_and_determinism(spark):
     rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")

@@ -159,16 +159,60 @@ def psi_by_group(
     return psi.withColumn("drift_level", drift_level_col(F.col("psi")))
 
 
-def ks_from_condensed(cond: DataFrame, cutpoints=None) -> DataFrame:
+KS_DRIVER_MAX = 1_000_000  # condensed-row budget below which the exact
+                           # ECDF is a driver-side numpy cumsum (same
+                           # gate family as correlation's
+                           # RANK_BROADCAST_MAX / psi mode="auto")
+
+
+def ks_from_condensed(
+    cond: DataFrame,
+    cutpoints=None,
+    driver_budget: int | None = None,
+) -> DataFrame:
     """Exact KS statistic from condensed counts: (column, ks_stat, n_e, n_a).
 
     ECDF sup-diff needs a per-column ordering — over DISTINCT values
-    only (the condensed table). Cumulative counts use the
-    range-partitioned two-phase prefix sum (operators/prefix.py), so
-    even a CONTINUOUS column (cardinality ~= row count) never pushes
-    its whole condensed table through one task — the r02 per-column
-    window had that ceiling (same fix as the rank-metric battery)."""
+    only (the condensed table). Two plans (r03 VERDICT next-step #3 —
+    the prefix path bought unbounded cardinality at a ~3x latency cost
+    exactly where it isn't needed):
+
+    - ``driver_budget`` set: probe with ONE action —
+      ``cond.limit(budget+1).toPandas()``. A result within the budget
+      IS the complete condensed table (limit only truncates when rows
+      exceed it), so the exact ECDF sup-diff runs in driver numpy: one
+      shuffle, no quantile pre-pass, no prefix rounds, identical
+      integer arithmetic. A truncated probe falls through to the
+      distributed plan below.
+    - otherwise: cumulative counts via the range-partitioned two-phase
+      prefix sum (operators/prefix.py), so even a CONTINUOUS column
+      (cardinality ~= row count) never pushes its whole condensed
+      table through one task — the r02 per-column window had that
+      ceiling (same fix as the rank-metric battery)."""
     from tanml_spark.operators.prefix import partitioned_cumsum
+
+    if driver_budget is not None:
+        import numpy as np
+
+        # lazy sibling import: suite.py imports this module at top level
+        from tanml_spark.suite import ks_from_counts
+
+        spark = cond.sparkSession
+        pdf = cond.limit(driver_budget + 1).toPandas()
+        if len(pdf) <= driver_budget:
+            rows = []
+            for c in sorted(pdf["column"].unique()):
+                sub = pdf[pdf["column"] == c]
+                ce = sub["ce"].to_numpy(dtype=np.float64)
+                ca = sub["ca"].to_numpy(dtype=np.float64)
+                n_e, n_a = int(ce.sum()), int(ca.sum())
+                if n_e == 0 or n_a == 0:
+                    continue  # the distributed filter drops empty sides too
+                vals = sub["value"].to_numpy(dtype=np.float64)
+                rows.append((str(c), ks_from_counts(vals, ce, ca), n_e, n_a))
+            return spark.createDataFrame(
+                rows, "column string, ks_stat double, n_e long, n_a long"
+            )
 
     cum = partitioned_cumsum(
         cond, ["value"], ["ce", "ca"], ("column",), cutpoints=cutpoints
@@ -335,21 +379,20 @@ def psi_table(
     return psi_from_condensed(condense(expected, actual, columns), bins)
 
 
-def ks_table(expected: DataFrame, actual: DataFrame, columns: list[str]) -> DataFrame:
+def ks_table(
+    expected: DataFrame, actual: DataFrame, columns: list[str],
+    max_driver: int = KS_DRIVER_MAX,
+) -> DataFrame:
     """Exact two-sample KS statistic per column: (column, ks_stat, n_e, n_a).
 
-    Bucket cutpoints for the prefix sum come from a scan-only sketch
-    pass over the EXPECTED side (columns pruned, no shuffle) — the
-    condensed pipeline then runs in exactly one action."""
-    nb = int(expected.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    probs = [i / nb for i in range(1, nb)]
-    cuts = None
-    if probs:
-        dcast = expected.select(
-            *[F.col(c).cast("double").alias(c) for c in columns]
-        )
-        cuts = {c: q for c, q in zip(columns, dcast.approxQuantile(columns, probs, 0.01))}
-    return ks_from_condensed(condense(expected, actual, columns), cutpoints=cuts)
+    The limit-probe fast path inside ks_from_condensed goes first
+    (one action; complete-within-budget probes finish on the driver);
+    only a truncated probe — genuinely high cardinality — falls
+    through to the distributed prefix plan, which derives its bucket
+    cutpoints from the condensed table itself."""
+    return ks_from_condensed(
+        condense(expected, actual, columns), driver_budget=max_driver
+    )
 
 
 def ks_asymp_pvalue(d: float, n: int, m: int, terms: int = 100) -> float:

@@ -98,6 +98,21 @@ def test_ks_matches_ecdf_oracle(spark):
     assert 0.0 <= p < 0.001  # strongly significant shift
 
 
+def test_ks_driver_fast_path_equals_distributed(spark):
+    """r03 VERDICT next-step #3: the limit-probe driver ECDF and the
+    range-partitioned prefix path must agree exactly — including when
+    the probe truncates (budget 1 forces the distributed fallback)."""
+    rng = np.random.default_rng(23)
+    e = rng.normal(0, 1, 600)
+    a = rng.normal(0.2, 1.1, 500)
+    fast = ks_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]
+    slow = ks_table(_df(spark, e), _df(spark, a), ["x"],
+                    max_driver=1).collect()[0]
+    assert fast["ks_stat"] == slow["ks_stat"]
+    assert (fast["n_e"], fast["n_a"]) == (slow["n_e"], slow["n_a"]) == (600, 500)
+    assert abs(fast["ks_stat"] - ref_ks(e, a)) < 1e-12
+
+
 def test_ks_identical_distribution_pvalue(spark):
     rng = np.random.default_rng(11)
     e = rng.normal(0, 1, 1000)

@@ -123,7 +123,12 @@ def kendall_tau_exact(
     cond = d0.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
     k = cond.count()
     if k > max_cardinality:
-        return kendall_tau_dominance(df, col_a, col_b)
+        # sketch passed but the exact count exceeds the broadcast-join
+        # budget: hand the ALREADY-CONDENSED frame to the dominance
+        # path instead of re-shuffling the raw data (r03 ADVICE #3 —
+        # the duplicated condense hit exactly the large inputs this
+        # guard exists for)
+        return kendall_tau_dominance(df, col_a, col_b, cond=cond)
     l, r = cond.alias("l"), cond.alias("r")
     ordered = (F.col("l.a") < F.col("r.a")) | (
         (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))

@@ -66,3 +66,23 @@ def test_exact_dispatches_to_dominance_above_guard(spark):
     # sanity: continuous all-distinct data, tau should be well inside
     # the plausible band for r = 0.37-ish dependence
     assert 0.15 < got < 0.45
+
+
+def test_precondensed_frame_reused(spark):
+    """r03 ADVICE #3: a caller-supplied condensed (a, b, c) frame must
+    produce the identical tau as condensing internally."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    a = rng.normal(size=n).round(2)
+    b = (0.5 * a + rng.normal(size=n)).round(2)
+    df = spark.createDataFrame(pd.DataFrame({"x": a, "y": b}))
+    cond = (
+        df.select(F.col("x").cast("double").alias("a"),
+                  F.col("y").cast("double").alias("b"))
+        .na.drop().groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    direct = kendall_tau_dominance(df, "x", "y", n_buckets=16)
+    reused = kendall_tau_dominance(None, "x", "y", n_buckets=16, cond=cond)
+    assert direct == pytest.approx(reused, abs=1e-15)

@@ -55,9 +55,17 @@ def benchmark_models(
     label_col: str,
     task_type: str = "classification",
     baseline_specs: dict[str, tuple[str, dict]] | None = None,
+    extra_models: dict | None = None,
 ) -> DataFrame:
     """Metric table: one row per baseline model. ``baseline_specs``
-    maps display name -> (registry algo, param overrides)."""
+    maps display name -> (registry algo, param overrides).
+
+    ``extra_models`` maps display name -> an ALREADY-FIT transformer
+    scored (not fit) on the test split alongside the baselines — the
+    reference's primary-model-vs-baselines table
+    (benchmark.py:128-249). Accepts any object with ``.transform``
+    producing prediction/probability, including a
+    models/interop.PredictFnModel-wrapped pickled sklearn model."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
@@ -66,9 +74,16 @@ def benchmark_models(
     te = va.transform(test.select(*feature_cols, label_col).na.drop()).cache()
     tr.count()
 
+    scorers = [
+        (name, lambda est=est: est.fit(tr))
+        for name, est in _baselines(task_type, label_col,
+                                    baseline_specs).items()
+    ] + [
+        (name, lambda m=m: m) for name, m in (extra_models or {}).items()
+    ]
     rows = []
-    for name, est in _baselines(task_type, label_col, baseline_specs).items():
-        model = est.fit(tr)
+    for name, get_model in scorers:
+        model = get_model()
         scored = model.transform(te)
         if task_type == "classification":
             sel = scored.select(

@@ -1,0 +1,35 @@
+"""Worker-importable model classes for test_model_interop.py.
+
+Broadcast variables pickle class instances BY REFERENCE (standard
+pickle), so the model's class must be importable inside Spark's Python
+workers — true for real sklearn installs, arranged here via
+``sc.addPyFile`` on this helper module (the documented recipe in
+models/interop.py for classes that only exist driver-side)."""
+
+import numpy as np
+
+
+class SkStyleLogReg:
+    """sklearn LogisticRegression scoring contract, no sklearn."""
+
+    def __init__(self, coef, intercept):
+        self.coef_ = np.asarray(coef, dtype=np.float64)
+        self.intercept_ = float(intercept)
+
+    def predict_proba(self, X):
+        p1 = 1.0 / (1.0 + np.exp(-(np.asarray(X, np.float64) @ self.coef_
+                                   + self.intercept_)))
+        return np.column_stack([1.0 - p1, p1])
+
+    def predict(self, X):
+        return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.float64)
+
+
+class HardLabel:
+    def predict(self, X):
+        return (np.asarray(X)[:, 0] > 0).astype(float)
+
+
+class LinearReg:
+    def predict(self, X):
+        return 2.0 * np.asarray(X)[:, 0] + 1.0

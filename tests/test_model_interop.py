@@ -1,0 +1,174 @@
+"""Bring-your-own-model interop (models/interop.py): a duck-typed
+sklearn-style model (predict / predict_proba over numpy matrices —
+the reference's model surface, tanml/models/registry.py:463-514) must
+run the stress / benchmark / permutation-importance checks and agree
+with the JVM pyspark.ml scoring path on the credit fixture.
+
+sklearn itself is absent from this environment; `SkStyleLogReg`
+(tests/interop_helpers.py, shipped to workers via sc.addPyFile —
+broadcast pickles classes by reference) reproduces its
+LogisticRegression scoring contract exactly (sigmoid of Xw + b,
+predict = p1 >= 0.5) from the JVM-fit coefficients, so the parity
+below is JVM-transform vs broadcast-pandas_udf over identical math. A
+real sklearn estimator exercises the same code path (see
+test_real_sklearn_if_available)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.checks.benchmark import benchmark_models
+from tanml_spark.checks.explainability import permutation_importance
+from tanml_spark.checks.stress import stress_test
+from tanml_spark.models.interop import PredictFnModel, numpy_predict_fn
+from tanml_spark.sources.credit_demo import FEATURES, gen_credit_demo
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+from interop_helpers import HardLabel, LinearReg, SkStyleLogReg  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def credit(spark):
+    spark.sparkContext.addPyFile(os.path.join(_HERE, "interop_helpers.py"))
+    train, test = gen_credit_demo(spark)
+    return train.cache(), test.cache()
+
+
+@pytest.fixture(scope="module")
+def jvm_and_interop(credit):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    train, _ = credit
+    va = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    lr = LogisticRegression(featuresCol="features", labelCol="target",
+                            maxIter=20)
+    pipe = Pipeline(stages=[va, lr]).fit(train)
+    lrm = pipe.stages[-1]
+    sk = SkStyleLogReg(lrm.coefficients.toArray(), lrm.intercept)
+    return pipe, PredictFnModel(sk, FEATURES, task="classification"), sk
+
+
+def test_transform_matches_driver_numpy(credit, jvm_and_interop):
+    """The broadcast pandas_udf scores equal the driver numpy scores to
+    1e-12 (same arithmetic both sides; BLAS blocking across different
+    Arrow batch shapes perturbs the dot product in the last ulps)."""
+    from pyspark.ml.functions import vector_to_array
+
+    _, wrapped, sk = jvm_and_interop
+    _, test = credit
+    got = (
+        wrapped.transform(test)
+        .select("id", "prediction",
+                vector_to_array("probability").getItem(1).alias("p1"))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pdf = test.select("id", *FEATURES).toPandas().sort_values("id")
+    X = pdf[FEATURES].to_numpy(dtype=np.float64)
+    exp_p1 = sk.predict_proba(X)[:, 1]
+    assert np.allclose(got["p1"].to_numpy(), exp_p1, rtol=0, atol=1e-12)
+    assert np.array_equal(got["prediction"].to_numpy(), sk.predict(X))
+
+
+def test_stress_parity_jvm_vs_interop(credit, jvm_and_interop):
+    """r03 VERDICT next-step #4 'done' gate, stress half: the wrapped
+    sklearn-style model runs the unchanged stress check and matches the
+    JVM model's battery (same coefficients -> same metrics, modulo
+    float summation order inside the two dot products)."""
+    pipe, wrapped, _ = jvm_and_interop
+    _, test = credit
+    kw = dict(label_col="target", task_type="classification",
+              epsilon=0.01, id_col="id")
+    jvm_rows = stress_test(pipe, test, FEATURES[:3], **kw)
+    py_rows = stress_test(wrapped, test, FEATURES[:3], **kw)
+    assert len(jvm_rows) == len(py_rows) == 6
+    for j, p in zip(jvm_rows, py_rows):
+        assert j["feature"] == p["feature"]
+        assert j["perturbation"] == p["perturbation"]
+        for m in ("accuracy", "auc", "delta_accuracy", "delta_auc"):
+            assert j[m] == pytest.approx(p[m], abs=2e-4), (j["feature"], m)
+
+
+def test_permutation_importance_parity(credit, jvm_and_interop):
+    """Importance half of the 'done' gate: hard-label metrics from the
+    wrapped model equal the JVM model's (identical predictions)."""
+    pipe, wrapped, _ = jvm_and_interop
+    _, test = credit
+    kw = dict(label_col="target", task_type="classification",
+              sample_rows=400)
+    jvm = permutation_importance(pipe, test, FEATURES[:3], **kw).toPandas()
+    py = permutation_importance(wrapped, test, FEATURES[:3], **kw).toPandas()
+    j = jvm.set_index("feature").sort_index()
+    p = py.set_index("feature").sort_index()
+    assert np.allclose(j["importance"], p["importance"], atol=1e-9)
+    assert np.allclose(j["base_metric"], p["base_metric"], atol=1e-9)
+
+
+def test_benchmark_extra_models_scores_prefit(credit, jvm_and_interop):
+    """A pre-fit wrapped model joins the baseline table un-refit."""
+    _, wrapped, _ = jvm_and_interop
+    train, test = credit
+    out = benchmark_models(
+        train, test, FEATURES, "target",
+        baseline_specs={"tree": ("DecisionTreeClassifier", {"max_depth": 3})},
+        extra_models={"user_sklearn_model": wrapped},
+    ).toPandas().set_index("model")
+    assert set(out.index) == {"tree", "user_sklearn_model"}
+    assert out.loc["user_sklearn_model", "roc_auc"] > 0.6
+
+
+def test_hard_label_fallback_and_regression(spark):
+    """Models without predict_proba degrade to one-hot probability;
+    regression wrapping emits prediction only."""
+
+    from pyspark.ml.functions import vector_to_array
+
+    spark.sparkContext.addPyFile(os.path.join(_HERE, "interop_helpers.py"))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [-1.0, 0.5, 2.0], "y": [0, 1, 1]})
+    )
+    hard = PredictFnModel(HardLabel(), ["x"]).transform(df).select(
+        "x", "prediction", vector_to_array("probability").alias("pr")
+    ).toPandas().sort_values("x")
+    assert hard["prediction"].tolist() == [0.0, 1.0, 1.0]
+    assert [list(v) for v in hard["pr"]] == [[1, 0], [0, 1], [0, 1]]
+
+    reg = PredictFnModel(LinearReg(), ["x"], task="regression").transform(df)
+    assert "probability" not in reg.columns
+    got = reg.select("x", "prediction").toPandas().sort_values("x")
+    assert np.allclose(got["prediction"], 2.0 * got["x"] + 1.0)
+
+    with pytest.raises(TypeError):
+        PredictFnModel(object(), ["x"])
+
+
+def test_numpy_predict_fn_for_shap(jvm_and_interop):
+    _, _, sk = jvm_and_interop
+    fn = numpy_predict_fn(sk)
+    X = np.array([[70000, 700, 40, 20000, 0.3, 60, 0, 5000, 4, 3]],
+                 dtype=float)  # one row over the 10 credit FEATURES
+    assert fn(X).shape == (1,)
+    assert np.allclose(fn(X), sk.predict_proba(X)[:, 1])
+
+
+def test_real_sklearn_if_available(credit):
+    """True sklearn estimator through the same adapter (skipped where
+    sklearn is not installed — this sandbox — runs in full envs)."""
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841
+    from sklearn.linear_model import LogisticRegression
+
+    train, test = credit
+    pdf = train.select(*FEATURES, "target").toPandas()
+    m = LogisticRegression(max_iter=200).fit(pdf[FEATURES], pdf["target"])
+    wrapped = PredictFnModel(m, FEATURES)
+    rows = stress_test(wrapped, test, FEATURES[:2], label_col="target",
+                       task_type="classification", epsilon=0.01, id_col="id")
+    assert len(rows) == 4 and all(r["auc"] > 0.5 for r in rows)

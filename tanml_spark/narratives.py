@@ -1,0 +1,290 @@
+"""Human-readable findings from metric artifacts (report narratives).
+
+Engine analog of the reference's narrative layer
+(tanml/ui/narratives.py:24-283: story_performance / story_features /
+story_overfitting / story_drift / story_stress / story_shap) — pure
+functions from metric dicts / tables to one-paragraph findings, with
+the reference's exact decision bands:
+
+- performance: AUC > 0.9 excellent, > 0.75 good, > 0.6 moderate, else
+  weak; an accuracy-vs-F1 gap > 0.15 flags class imbalance; regression
+  R² > 0.8 high-precision, < 0.3 under-explained.
+- overfitting: train-test delta of the first shared key metric;
+  |delta| > 0.1 (error metrics: < -0.1) is significant overfitting,
+  > 0.05 mild divergence, else consistent.
+- drift: PSI > 0.2 critical, 0.1-0.2 monitor, else stable (the same
+  bands as checks/drift.drift_level_col).
+- stress: largest metric swing < 0.02 highly robust, < 0.05 moderate
+  resilience, else sensitivity flagged.
+
+Inputs are duck-typed: plain dicts, lists of dicts (the engine's
+stress_test rows), or pandas DataFrames (collected check outputs) —
+never Spark DataFrames, so the narratives run driver-side on already-
+aggregated artifacts and add zero jobs to a validation run.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+
+def _get(metrics: dict[str, Any], key: str, default: float = 0.0) -> float:
+    """Case-insensitive metric lookup (narratives.py:16-21)."""
+    for k, v in metrics.items():
+        if k.lower() == key.lower():
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return default
+    return default
+
+
+def story_performance(metrics: dict[str, Any], task_type: str) -> str:
+    """Performance finding (narratives.py:24-69 bands)."""
+    parts: list[str] = []
+    if task_type == "classification":
+        auc = _get(metrics, "roc_auc")
+        if auc:
+            parts.append(f"ROC AUC is **{auc:.3f}**.")
+            if auc > 0.9:
+                parts.append("Discriminatory power is **excellent**.")
+            elif auc > 0.75:
+                parts.append("Discriminatory power is **good**.")
+            elif auc > 0.6:
+                parts.append("Predictive skill is **moderate**.")
+            else:
+                parts.append(
+                    "Predictive skill is weak — more features or data "
+                    "may be needed."
+                )
+        acc, f1 = _get(metrics, "accuracy"), _get(metrics, "f1")
+        if acc and f1 and abs(acc - f1) > 0.15:
+            parts.append(
+                f"Accuracy ({acc:.2f}) and F1 ({f1:.2f}) diverge — a "
+                "class-imbalance signal."
+            )
+    else:
+        r2, rmse = _get(metrics, "r2"), _get(metrics, "rmse")
+        parts.append(
+            f"The model explains **{r2:.1%}** of target variance (R²); "
+            f"typical prediction error is **{rmse:.3f}** units (RMSE)."
+        )
+        if r2 > 0.8:
+            parts.append("This is a **high-precision** fit.")
+        elif r2 < 0.3:
+            parts.append(
+                "The low R² means the features explain little of the "
+                "target's behavior."
+            )
+    return " ".join(parts)
+
+
+_SCORE_COLS = ["importance", "mean_abs_shap", "power_score",
+               "composite_score", "coef", "shap_mean"]
+
+
+def story_features(table, top_n: int = 3) -> str:
+    """Feature-dominance finding (narratives.py:72-110). ``table``: a
+    pandas DataFrame whose FIRST column is the feature name, or a list
+    of dicts with a 'feature' key; the score column is auto-detected
+    from the engine's importance outputs."""
+    rows = _as_records(table)
+    if not rows:
+        return "Feature importance data is not available."
+    keys = {k.lower(): k for k in rows[0]}
+    score_key = next((keys[c] for c in _SCORE_COLS if c in keys), None)
+    if score_key is None:
+        return "No recognized importance score column found."
+    name_key = keys.get("feature") or next(iter(rows[0]))
+    top = sorted(rows, key=lambda r: -float(r[score_key] or 0))[:top_n]
+    names = [str(r[name_key]) for r in top]
+    if len(names) >= 3:
+        return (
+            f"Predictions are driven mostly by **{names[0]}**, "
+            f"**{names[1]}**, and **{names[2]}**."
+        )
+    if len(names) == 2:
+        return f"Key drivers are **{names[0]}** and **{names[1]}**."
+    return f"The dominant feature is **{names[0]}**."
+
+
+_OVERFIT_KEYS = ["roc_auc", "r2", "accuracy", "f1", "rmse", "mae"]
+_ERROR_METRICS = {"rmse", "mae", "log_loss", "brier"}
+
+
+def story_overfitting(train_m: dict[str, Any], test_m: dict[str, Any]) -> str:
+    """Train-test divergence finding (narratives.py:113-170 bands)."""
+    tr_norm = {k.lower(): v for k, v in (train_m or {}).items()}
+    te_norm = {k.lower(): v for k, v in (test_m or {}).items()}
+    metric = next((k for k in _OVERFIT_KEYS
+                   if k in tr_norm and k in te_norm), None)
+    if metric is None:
+        return (
+            "Stability could not be assessed: no shared key metric "
+            "between train and test results."
+        )
+    tr, te = float(tr_norm[metric]), float(te_norm[metric])
+    delta = tr - te
+    head = f"{metric.upper()}: train **{tr:.3f}** vs test **{te:.3f}**."
+    is_error = metric in _ERROR_METRICS
+    problematic = (delta < -0.1) if is_error else (delta > 0.1)
+    if problematic:
+        return (
+            head + " **Significant overfitting detected** — performance "
+            "on unseen data falls well short of training; consider "
+            "regularization or a simpler model."
+        )
+    if abs(delta) > 0.05:
+        return (
+            head + " There is **mild divergence** between train and "
+            "test, likely within acceptable limits."
+        )
+    return head + " The model **generalizes consistently** across both splits."
+
+
+def story_drift(drift_rows) -> str:
+    """Drift finding (narratives.py:173-206 bands: PSI > 0.2 critical,
+    0.1-0.2 monitor). Accepts the collected analyze_drift rows (dicts
+    or a pandas DataFrame with column/psi)."""
+    rows = _as_records(drift_rows)
+    if not rows:
+        return "No drift analysis was performed."
+    keys = {k.lower(): k for k in rows[0]}
+    psi_key = keys.get("psi")
+    name_key = keys.get("column") or keys.get("feature")
+    if psi_key is None:
+        return "No drift analysis was performed."
+
+    def _psi(r):
+        v = r.get(psi_key)
+        return float(v) if v is not None and not (
+            isinstance(v, float) and math.isnan(v)) else 0.0
+
+    high = [r for r in rows if _psi(r) > 0.2]
+    med = [r for r in rows if 0.1 < _psi(r) <= 0.2]
+    if high:
+        feats = ", ".join(str(r.get(name_key, "?")) for r in high[:3])
+        return (
+            f"**Critical drift**: {len(high)} feature(s) (including "
+            f"**{feats}**) shifted distribution with PSI > 0.2 — model "
+            "reliability may be compromised."
+        )
+    if med:
+        return (
+            f"**Monitor**: {len(med)} feature(s) show slight drift "
+            "(PSI 0.1-0.2) — usually acceptable, worth watching."
+        )
+    return (
+        "**Stable**: no significant drift; the scored data matches the "
+        "training distribution."
+    )
+
+
+def story_stress(stress_rows) -> str:
+    """Robustness finding (narratives.py:209-249 bands). Accepts the
+    engine's stress_test rows (delta_* columns) or reference-style
+    rows with baseline/stressed/metric keys."""
+    rows = _as_records(stress_rows)
+    if not rows:
+        return "No stress-test data available."
+    max_drop, worst = 0.0, None
+    for r in rows:
+        if r.get("baseline") is not None and r.get("stressed") is not None:
+            drop = abs(float(r["baseline"]) - float(r["stressed"]))
+            label = r.get("metric")
+            if drop > max_drop:
+                max_drop, worst = drop, label
+        else:  # engine rows: delta_<metric> columns per perturbation
+            for k, v in r.items():
+                if k.startswith("delta_") and v is not None:
+                    drop = abs(float(v))
+                    if drop > max_drop:
+                        max_drop, worst = drop, (
+                            f"{k[6:]} ({r.get('feature', '?')} "
+                            f"{r.get('perturbation', '')})".strip()
+                        )
+    if max_drop < 0.02:
+        return (
+            "**Highly robust**: performance barely moves under input "
+            "perturbation."
+        )
+    if max_drop < 0.05:
+        return (
+            f"**Moderate resilience**: the largest swing was "
+            f"{max_drop:.3f} in {worst}."
+        )
+    return (
+        f"**Sensitivity detected**: {worst} moved by {max_drop:.3f} "
+        "under perturbation; consider ensembling or regularization."
+    )
+
+
+def story_shap(shap_res) -> str:
+    """Attribution finding (narratives.py:252-283). Accepts a dict with
+    'top_features', or the collected shap_summary rows (feature +
+    mean_abs_shap, already ranked)."""
+    if isinstance(shap_res, dict):
+        raw = shap_res.get("top_features", [])
+        names = [
+            str(item.get("feature") or next(iter(item)))
+            if isinstance(item, dict) else str(item)
+            for item in raw
+        ]
+    else:
+        rows = _as_records(shap_res)
+        names = [str(r.get("feature", "?")) for r in rows]
+    if not names:
+        return "SHAP analysis is not available."
+    if len(names) >= 3:
+        return (
+            f"Attribution analysis ranks **{names[0]}**, **{names[1]}**, "
+            f"and **{names[2]}** as the top model drivers."
+        )
+    if len(names) == 2:
+        return f"Top attributed features: **{names[0]}** and **{names[1]}**."
+    return f"The dominant attributed feature is **{names[0]}**."
+
+
+def suite_narratives(summary: dict) -> list[str]:
+    """Findings for a run-dir report summary (report.build_report):
+    one sentence per notable check, drift narrated with its bands."""
+    out: list[str] = []
+    checks = summary.get("checks", {})
+    drift = checks.get("drift")
+    if drift and "metrics" in drift:
+        m = drift["metrics"]
+        sev = int(m.get("severe_drift_count", 0) or 0)
+        mod = int(m.get("moderate_drift_count", 0) or 0)
+        fake_rows = (
+            [{"column": "feature", "psi": 0.25}] * sev
+            + [{"column": "feature", "psi": 0.15}] * mod
+        )
+        out.append(story_drift(fake_rows) if (sev or mod) else story_drift(
+            [{"column": "-", "psi": 0.0}]))
+    failing = sorted(n for n, c in checks.items() if c["status"] == "fail")
+    warning = sorted(n for n, c in checks.items() if c["status"] == "warning")
+    if failing:
+        out.append(
+            f"**Action required**: {len(failing)} check(s) failed "
+            f"({', '.join(failing)})."
+        )
+    if warning:
+        out.append(
+            f"{len(warning)} check(s) raised warnings "
+            f"({', '.join(warning)})."
+        )
+    if not failing and not warning and checks:
+        out.append("All checks passed.")
+    return out
+
+
+def _as_records(table) -> list[dict]:
+    """list-of-dicts from a pandas DataFrame / list / None."""
+    if table is None:
+        return []
+    if hasattr(table, "to_dict"):  # pandas DataFrame
+        if getattr(table, "empty", False):
+            return []
+        return table.to_dict("records")
+    return [r for r in table if isinstance(r, dict)]

@@ -17,6 +17,7 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from tanml_spark.narratives import suite_narratives
 from tanml_spark.runner import ValidationRunner
 
 _ORDER = {"pass": 0, "warning": 1, "fail": 2}
@@ -91,6 +92,10 @@ def render_markdown(summary: dict) -> str:
             if "n_verdicts" in c else "-"
         )
         lines.append(f"| {name} | {c['status']} | {counts} | {c.get('summary', '')} |")
+    findings = suite_narratives(summary)
+    if findings:
+        lines += ["", "## Findings", ""]
+        lines += [f"- {s}" for s in findings]
     if summary.get("violation_tables"):
         lines += ["", "Violation tables: " + ", ".join(summary["violation_tables"])]
     return "\n".join(lines) + "\n"

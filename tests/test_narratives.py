@@ -1,0 +1,129 @@
+"""Narrative findings (tanml_spark/narratives.py) — threshold parity
+with the reference's story_* functions (tanml/ui/narratives.py:24-283):
+the DECISION BANDS must agree exactly (AUC 0.9/0.75/0.6, acc-F1 gap
+0.15, overfit delta 0.1/0.05 with error-metric sign flip, PSI 0.2/0.1,
+stress 0.02/0.05, R² 0.8/0.3); wording is the engine's own."""
+
+import math
+
+import pandas as pd
+
+from tanml_spark.narratives import (
+    story_drift,
+    story_features,
+    story_overfitting,
+    story_performance,
+    story_shap,
+    story_stress,
+    suite_narratives,
+)
+
+
+def test_performance_auc_bands():
+    assert "excellent" in story_performance({"roc_auc": 0.95}, "classification")
+    assert "good" in story_performance({"roc_auc": 0.80}, "classification")
+    assert "moderate" in story_performance({"roc_auc": 0.65}, "classification")
+    assert "weak" in story_performance({"roc_auc": 0.55}, "classification")
+    # band edges are strict > (reference: auc > 0.9 / 0.75 / 0.6)
+    assert "good" in story_performance({"roc_auc": 0.9}, "classification")
+    assert "moderate" in story_performance({"ROC_AUC": 0.75}, "classification")
+
+
+def test_performance_imbalance_gap():
+    s = story_performance({"roc_auc": 0.8, "accuracy": 0.95, "f1": 0.70},
+                          "classification")
+    assert "imbalance" in s
+    s2 = story_performance({"roc_auc": 0.8, "accuracy": 0.85, "f1": 0.75},
+                           "classification")
+    assert "imbalance" not in s2  # gap 0.10 <= 0.15
+
+
+def test_performance_regression_bands():
+    hi = story_performance({"r2": 0.9, "rmse": 1.2}, "regression")
+    assert "high-precision" in hi and "90.0%" in hi
+    lo = story_performance({"r2": 0.1, "rmse": 9.9}, "regression")
+    assert "little" in lo
+
+
+def test_overfitting_bands_and_error_metric_flip():
+    sig = story_overfitting({"roc_auc": 0.95}, {"roc_auc": 0.80})
+    assert "Significant overfitting" in sig
+    mild = story_overfitting({"roc_auc": 0.88}, {"roc_auc": 0.80})
+    assert "mild divergence" in mild
+    ok = story_overfitting({"roc_auc": 0.84}, {"roc_auc": 0.80})
+    assert "generalizes consistently" in ok
+    # error metric: overfitting = train ERROR much LOWER than test
+    err = story_overfitting({"rmse": 1.0}, {"rmse": 1.2})
+    assert "Significant overfitting" in err
+    err_ok = story_overfitting({"rmse": 1.0}, {"rmse": 1.04})
+    assert "generalizes consistently" in err_ok
+    none = story_overfitting({"weird": 1}, {"other": 2})
+    assert "could not be assessed" in none
+    # key-metric priority: roc_auc chosen over accuracy when both exist
+    s = story_overfitting({"roc_auc": 0.9, "accuracy": 0.5},
+                          {"roc_auc": 0.89, "accuracy": 0.2})
+    assert "ROC_AUC" in s and "consistently" in s
+
+
+def test_drift_bands_and_nan_handling():
+    crit = story_drift([{"column": "a", "psi": 0.25},
+                        {"column": "b", "psi": 0.05}])
+    assert "Critical drift" in crit and "**a**" in crit
+    mon = story_drift([{"column": "a", "psi": 0.15}])
+    assert "Monitor" in mon
+    stable = story_drift([{"column": "a", "psi": 0.05},
+                          {"column": "b", "psi": float("nan")}])
+    assert "Stable" in stable
+    assert "No drift" in story_drift([])
+    # pandas input works too (collected analyze_drift output)
+    pdf = pd.DataFrame({"column": ["x"], "psi": [0.3]})
+    assert "Critical drift" in story_drift(pdf)
+
+
+def test_stress_bands_engine_and_reference_row_shapes():
+    robust = story_stress([{"feature": "f", "perturbation": "+1%",
+                            "delta_auc": 0.001, "delta_accuracy": -0.01}])
+    assert "Highly robust" in robust
+    mod = story_stress([{"feature": "f", "perturbation": "-1%",
+                         "delta_auc": -0.03}])
+    assert "Moderate resilience" in mod
+    sens = story_stress([{"metric": "auc", "baseline": 0.9, "stressed": 0.8}])
+    assert "Sensitivity detected" in sens and "0.100" in sens
+    assert "No stress-test data" in story_stress([])
+
+
+def test_features_and_shap_rankings():
+    pdf = pd.DataFrame({"feature": ["a", "b", "c", "d"],
+                        "importance": [0.1, 0.9, 0.5, 0.2]})
+    s = story_features(pdf)  # top 3 by importance: b (0.9), c (0.5), d (0.2)
+    assert s.index("**b**") < s.index("**c**") < s.index("**d**")
+    assert "**a**" not in s
+    two = story_features(pd.DataFrame({"feature": ["a", "b"],
+                                       "mean_abs_shap": [0.2, 0.1]}))
+    assert "Key drivers" in two
+    assert "not available" in story_features(None)
+    assert "No recognized" in story_features(
+        pd.DataFrame({"feature": ["a"], "oddcol": [1]}))
+    sh = story_shap({"top_features": [{"feature": "inc"}, "age", "score"]})
+    assert "**inc**" in sh and "**age**" in sh
+    sh2 = story_shap(pd.DataFrame({"feature": ["x"], "mean_abs_shap": [1.0]}))
+    assert "dominant" in sh2
+
+
+def test_suite_narratives_from_report_summary():
+    summary = {
+        "checks": {
+            "drift": {"status": "fail",
+                      "metrics": {"severe_drift_count": 2.0,
+                                  "moderate_drift_count": 1.0}},
+            "uniqueness": {"status": "warning"},
+            "nulls": {"status": "pass"},
+        }
+    }
+    out = suite_narratives(summary)
+    text = "\n".join(out)
+    assert "Critical drift" in text
+    assert "Action required" in text and "drift" in text
+    assert "warning" in text.lower()
+    clean = suite_narratives({"checks": {"nulls": {"status": "pass"}}})
+    assert any("All checks passed" in s for s in clean)

@@ -98,7 +98,7 @@ def main() -> None:
             runner.run_suite(split_ctx, checks=["leakage", "drift"], resume=args.resume)
         )
 
-    from tanml_spark.report import build_report, render_markdown
+    from tanml_spark.report import build_report, render_html, render_markdown
 
     # overall verdict comes from the REPORT (covers per-partition
     # constraint verdicts too, not just the suite checks run above)
@@ -106,6 +106,8 @@ def main() -> None:
     report_path = os.path.join(args.run_dir, "report.md")
     with open(report_path, "w") as f:
         f.write(render_markdown(summary))
+    with open(os.path.join(args.run_dir, "report.html"), "w") as f:
+        f.write(render_html(summary))
     with open(os.path.join(args.run_dir, "report.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
     print(json.dumps({

@@ -101,11 +101,93 @@ def render_markdown(summary: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
+_HTML_STYLE = """
+body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif;
+       max-width: 60rem; margin: 2rem auto; padding: 0 1rem;
+       color: #1a1a2e; line-height: 1.5; }
+table { border-collapse: collapse; margin: 1rem 0; width: 100%; }
+th, td { border: 1px solid #d0d4dc; padding: 0.35rem 0.6rem;
+         text-align: left; font-size: 0.92rem; }
+th { background: #f2f4f8; }
+code { background: #f2f4f8; padding: 0.1rem 0.3rem; border-radius: 3px; }
+.status-pass { color: #1a7f37; font-weight: 600; }
+.status-warning { color: #9a6700; font-weight: 600; }
+.status-fail { color: #cf222e; font-weight: 600; }
+"""
+
+
+def _inline_md(text: str) -> str:
+    """Bold + code spans for the report's limited markdown dialect."""
+    import html
+    import re
+
+    out = html.escape(text)
+    out = re.sub(r"\*\*(.+?)\*\*", r"<strong>\1</strong>", out)
+    out = re.sub(r"`(.+?)`", r"<code>\1</code>", out)
+    for s in ("pass", "warning", "fail"):
+        out = re.sub(rf"\b{s}\b", f'<span class="status-{s}">{s}</span>', out)
+    return out
+
+
+def render_html(summary: dict) -> str:
+    """Self-contained single-file HTML from the same summary the
+    markdown renderer consumes — the engine's analog of the reference's
+    formatted document artifact (tanml/ui/reports/generators.py DOCX
+    assembly; r03 VERDICT next-step #9). No dependencies: the report's
+    markdown dialect is headers, one table, bold, lists and code, so
+    the converter is ~30 lines of stdlib."""
+    md = render_markdown(summary)
+    body: list[str] = []
+    table: list[str] = []
+
+    def flush_table():
+        if not table:
+            return
+        head, *rows = table
+        cells = lambda line: [c.strip() for c in line.strip("|").split("|")]
+        body.append("<table><thead><tr>")
+        body.extend(f"<th>{_inline_md(c)}</th>" for c in cells(head))
+        body.append("</tr></thead><tbody>")
+        for r in rows:
+            body.append(
+                "<tr>" + "".join(f"<td>{_inline_md(c)}</td>"
+                                 for c in cells(r)) + "</tr>"
+            )
+        body.append("</tbody></table>")
+        table.clear()
+
+    for line in md.splitlines():
+        s = line.strip()
+        if s.startswith("|"):
+            if set(s) <= {"|", "-", " ", ":"}:  # separator row
+                continue
+            table.append(s)
+            continue
+        flush_table()
+        if s.startswith("## "):
+            body.append(f"<h2>{_inline_md(s[3:])}</h2>")
+        elif s.startswith("# "):
+            body.append(f"<h1>{_inline_md(s[2:])}</h1>")
+        elif s.startswith("- "):
+            body.append(f"<li>{_inline_md(s[2:])}</li>")
+        elif s:
+            body.append(f"<p>{_inline_md(s)}</p>")
+    flush_table()
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>Validation report</title><style>{_HTML_STYLE}</style>"
+        "</head><body>" + "\n".join(body) + "</body></html>\n"
+    )
+
+
 def write_report(spark: SparkSession, run_dir: str) -> str:
-    """Write report.md + report.json into the run dir; returns md path."""
+    """Write report.md + report.html + report.json into the run dir;
+    returns the md path."""
     summary = build_report(spark, run_dir)
     with open(os.path.join(run_dir, "report.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
+    with open(os.path.join(run_dir, "report.html"), "w") as f:
+        f.write(render_html(summary))
     md_path = os.path.join(run_dir, "report.md")
     with open(md_path, "w") as f:
         f.write(render_markdown(summary))

@@ -38,3 +38,31 @@ def test_report_from_run_dir(spark, code_files, repos_dim, tmp_path):
     # idempotent rebuild
     again = build_report(spark, run_dir)
     assert again["checks"].keys() == summary["checks"].keys()
+
+
+def test_html_report_rendering():
+    """render_html is a dependency-free, self-contained document with
+    the verdict table, findings, and escaped content."""
+    from tanml_spark.report import render_html
+
+    summary = {
+        "run_dir": "/tmp/x <script>",
+        "overall_status": "warning",
+        "checks": {
+            "drift": {"status": "fail", "summary": "severe=['a'] **bad**",
+                      "metrics": {"severe_drift_count": 1.0,
+                                  "moderate_drift_count": 0.0}},
+            "uniqueness": {"status": "warning", "n_verdicts": 4,
+                           "n_pass": 3, "n_warning": 1, "n_fail": 0},
+        },
+        "violation_tables": ["constraints"],
+    }
+    html = render_html(summary)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "<table>" in html and "<th>check</th>" in html
+    assert "&lt;script&gt;" in html            # escaping
+    assert "<strong>bad</strong>" in html      # bold conversion
+    assert 'class="status-fail"' in html       # status coloring
+    assert "<h2>Findings</h2>" in html         # narratives section
+    assert "Critical drift" in html
+    assert "<style>" in html and "src=" not in html  # self-contained

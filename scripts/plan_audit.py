@@ -186,6 +186,25 @@ def main() -> None:
         "",
         f"**Flagged (single-task stage > {SINGLE_TASK_BYTES_MAX // (1024 * 1024)} MB"
         f" consumed): {flagged or 'none'}**",
+        "",
+        "## Skew handling (north-rule joins)",
+        "",
+        "- Referential integrity and the fused-suite FK check join the",
+        "  fact side against a BROADCAST dim (checks/integrity.py,",
+        "  suite.py scan 4) — hot repo keys never shuffle, skew-immune",
+        "  by construction.",
+        "- For non-broadcastable dims, `operators/joins.salted_equi_join`",
+        "  spreads a hot key over n_salts deterministic sub-keys",
+        "  (functions/hashing.salted_key — hashed secondary column,",
+        "  never F.rand()) and replicates the dim n_salts-fold.",
+        "  Measured evidence (tests/test_joins.py::",
+        "  test_salted_join_bounds_max_task_input, AQE off, 50% of rows",
+        "  on one repo): plain sort-merge puts all hot rows in ONE",
+        "  partition (max-task >= 30,000 of 60,000 rows); salted join",
+        "  bounds the max partition at <= 4x hot/n_salts (~7,500).",
+        "  Join results verified identical.",
+        "- At runtime AQE's skew-join split is the first line of",
+        "  defense; salting is the deterministic plan-level guarantee.",
     ]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -167,3 +167,48 @@ def functools_reduce_and(conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    spread_on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defused equi-join of a hot-keyed fact table against a
+    non-broadcastable dimension (north rule: "salted hash-joins ...
+    to defuse repo/lang skew").
+
+    A plain shuffle join sends EVERY row of a hot key (one repo owning
+    half the corpus) through one task. Here the fact side is salted
+    deterministically — ``functions/hashing.salted_key`` hashes a
+    secondary column (e.g. path), never F.rand(), so retries, resumes
+    and different cluster sizes see identical assignments — and the
+    dim side is replicated ``n_salts``-fold via a literal-array
+    explode (dim_rows × n_salts, tiny next to the fact side). The join
+    key becomes (key, salt): the hot key's rows spread over
+    ``n_salts`` tasks, bounding max-task input at ~hot/n_salts.
+
+    AQE's runtime skew-join split is the first line of defense at
+    execution time; this operator is the deterministic plan-level
+    guarantee for when AQE is off or the skew sits in a single
+    map-side partition AQE can't split further.
+    tests/test_joins.py::test_salted_join_bounds_max_task_input
+    measures both plans' per-partition row counts."""
+    from tanml_spark.functions.hashing import salted_key
+
+    fs = fact.withColumn(
+        "__sk", salted_key(F.col(key), F.col(spread_on), n_salts)
+    )
+    dim_cols = [c for c in dim.columns if c != key]
+    ds = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(str(i)) for i in range(n_salts)])),
+    ).select(
+        F.concat_ws("#", F.col(key).cast("string"), F.col("__salt"))
+        .alias("__sk"),
+        *dim_cols,
+    )
+    return fs.join(ds, "__sk", how).drop("__sk")

@@ -91,3 +91,72 @@ def test_range_join_binned_matches_naive(spark):
     # equi-join on the bin (hash-partitionable), not nested loop
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_bounds_max_task_input(spark):
+    """North-rule skew demonstration (r03 VERDICT next-step #7): one
+    hot repo owns 50% of fact rows. Under a plain sort-merge join the
+    hot key's entire row set lands in ONE shuffle partition; under
+    salted_equi_join it spreads over n_salts partitions. Per-partition
+    output row counts (spark_partition_id on the join output, AQE off
+    so partitioning is the plan's, not a runtime rewrite) are the
+    max-task-input evidence — results themselves must be identical."""
+    from pyspark.sql import functions as F
+
+    from tanml_spark.operators.joins import salted_equi_join
+
+    n, n_salts = 60_000, 16
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # enough shuffle partitions that the 16 salted sub-keys don't
+        # collide into the same task by pigeonhole (the test session
+        # default of 8 would re-merge salts it just split)
+        "spark.sql.shuffle.partitions": "64",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        facts = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, "hot")
+            .otherwise(F.concat(F.lit("r"), (F.col("id") % 50).cast("string")))
+            .alias("repo"),
+            F.col("id").cast("string").alias("path"),
+        )
+        repos = ["hot"] + [f"r{i}" for i in range(50)]
+        dim = spark.createDataFrame(
+            [(r, len(r)) for r in repos], "repo string, attr int"
+        )
+
+        def max_partition_rows(df):
+            rows = (
+                df.groupBy(F.spark_partition_id().alias("p"))
+                .count().collect()
+            )
+            return max(r["count"] for r in rows)
+
+        plain = facts.join(dim, "repo")
+        salted = salted_equi_join(facts, dim, "repo", "path", n_salts)
+
+        # identical join results (order-insensitive)
+        agg_plain = sorted(
+            plain.groupBy("repo").agg(F.count(F.lit(1)), F.max("attr"))
+            .collect()
+        )
+        agg_salted = sorted(
+            salted.groupBy("repo").agg(F.count(F.lit(1)), F.max("attr"))
+            .collect()
+        )
+        assert agg_plain == agg_salted
+
+        hot_rows = n // 2
+        m_plain = max_partition_rows(plain)
+        m_salted = max_partition_rows(salted)
+        assert m_plain >= hot_rows          # hot key -> one partition
+        # salting bounds the hot key's share per task at ~hot/n_salts;
+        # allow 4x slack for salt sub-keys co-hashing into a partition
+        assert m_salted <= 4 * hot_rows // n_salts
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -76,10 +76,12 @@ def analyze_cluster_coverage(
     if n_train < n_clusters or te.isEmpty():
         return {"coverage_pct": 0.0, "n_clusters": 0, "error": "Insufficient data for clustering"}
 
-    # standardize with train stats (one fused agg)
+    # standardize with train stats (one fused agg; population std =
+    # sklearn StandardScaler's ddof, r03 ADVICE #4 — coverage itself is
+    # invariant to the uniform sqrt(n/(n-1)) factor, parity is free)
     stats = tr.agg(
         *[F.avg(c).alias(f"m_{c}") for c in columns],
-        *[F.stddev_samp(c).alias(f"s_{c}") for c in columns],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in columns],
     ).collect()[0]
     means = {c: stats[f"m_{c}"] for c in columns}
     stds = {c: stats[f"s_{c}"] or 1.0 for c in columns}
@@ -162,9 +164,13 @@ def pca_projection(
     """
     k = len(columns)
     if means is None or stds is None:
+        # POPULATION std (ddof=0): sklearn StandardScaler's convention,
+        # so projected coordinates match the reference's
+        # scaler.transform byte-for-byte (r03 ADVICE #4 — stddev_samp
+        # scaled every coordinate by a sqrt(n/(n-1)) factor).
         stats = df.agg(
             *[F.avg(c).alias(f"m_{c}") for c in columns],
-            *[F.stddev_samp(c).alias(f"s_{c}") for c in columns],
+            *[F.stddev_pop(c).alias(f"s_{c}") for c in columns],
         ).collect()[0]
         means = {c: stats[f"m_{c}"] or 0.0 for c in columns}
         stds = {c: stats[f"s_{c}"] or 1.0 for c in columns}
@@ -181,7 +187,7 @@ def pca_projection(
             F.covar_pop(columns[i], columns[j]).alias(f"c_{i}_{j}")
             for i in range(k)
             for j in range(i, k)
-        ]
+        ] + [F.count(F.lit(1)).alias("__n")]
         row = s.agg(*cov_exprs).collect()[0]
         cov = np.zeros((k, k))
         for i in range(k):
@@ -194,7 +200,12 @@ def pca_projection(
         for r_ in range(comps.shape[0]):             # svd_flip analog
             if comps[r_, np.argmax(np.abs(comps[r_]))] < 0:
                 comps[r_] = -comps[r_]
-        explained = evals[order]
+        # sklearn PCA's explained_variance_ divides by n-1; covar_pop
+        # eigenvalues rescale by n/(n-1) (eigenvectors are scale-
+        # invariant, so components are unaffected)
+        n_rows = row["__n"] or 0
+        ddof_scale = n_rows / (n_rows - 1) if n_rows > 1 else 1.0
+        explained = evals[order] * ddof_scale
 
     proj_cols = [
         sum(

@@ -96,9 +96,10 @@ def test_salted_duplicate_stats_equals_plain(spark, code_files):
 
 
 def test_pca_projection_matches_numpy(spark):
-    """Distributed PCA == numpy eigh-on-covariance reference (sklearn
-    PCA semantics on standardized data; components sign-fixed by
-    largest-|loading|; explained variance here is population-ddof)."""
+    """Distributed PCA == numpy eigh-on-covariance reference with
+    sklearn's exact ddof conventions (r03 ADVICE #4): StandardScaler
+    scaling uses POPULATION std, explained_variance_ divides by n-1;
+    components sign-fixed by largest-|loading| (svd_flip)."""
     import numpy as np
     from tanml_spark.checks.clustering import pca_projection
     from tanml_spark.sources.credit_demo import credit_pdf
@@ -109,8 +110,8 @@ def test_pca_projection_matches_numpy(spark):
     out, comps, expl = pca_projection(df, cols, n_components=2)
 
     X = pdf.to_numpy()
-    Xs = (X - X.mean(0)) / X.std(0, ddof=1)
-    cov = np.cov(Xs.T, ddof=0)
+    Xs = (X - X.mean(0)) / X.std(0)          # StandardScaler: ddof=0
+    cov = np.cov(Xs.T, ddof=1)               # sklearn PCA: ddof=1
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:2]
     ref = evecs[:, order].T
@@ -126,7 +127,7 @@ def test_pca_projection_matches_numpy(spark):
     # projecting a SECOND frame with train-fit stats (reference's
     # scaler.transform + pca.transform path)
     means = {c: X.mean(0)[i] for i, c in enumerate(cols)}
-    stds = {c: X.std(0, ddof=1)[i] for i, c in enumerate(cols)}
+    stds = {c: X.std(0)[i] for i, c in enumerate(cols)}
     out2, comps2, _ = pca_projection(df.limit(50), cols, 2, means, stds,
                                      components=comps)
     assert np.allclose(comps2, comps, atol=1e-9)

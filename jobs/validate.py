@@ -89,16 +89,40 @@ def main() -> None:
 
     # split-dependent checks compare the test split against train
     if "split" in df.columns:
+        train = df.filter(F.col("split") == "train")
+        test = df.filter(F.col("split") == "test")
         split_ctx = ValidationContext(
-            df=df.filter(F.col("split") == "test"),
-            reference_df=df.filter(F.col("split") == "train"),
+            df=test,
+            reference_df=train,
             config={"leakage_cols": args.unique_keys.split(",")},
         )
         results.update(
             runner.run_suite(split_ctx, checks=["leakage", "drift"], resume=args.resume)
         )
+        if results:  # fresh run (not resume): drop drift ECDF diagnostics
+            from tanml_spark.plots import ecdf_plot_data, svg_line_chart
 
-    from tanml_spark.report import build_report, render_html, render_markdown
+            numeric = {"int", "bigint", "double", "float"}
+            cols = [c for c, t in test.dtypes if t in numeric][:3]
+            if "content" in test.columns:  # the drift check's own metric
+                train = train.withColumn("content_len", F.length("content"))
+                test = test.withColumn("content_len", F.length("content"))
+                cols = ["content_len"] + cols
+            plots_dir = os.path.join(args.run_dir, "plots")
+            os.makedirs(plots_dir, exist_ok=True)
+            for c in cols:
+                series = ecdf_plot_data(train, test, c)
+                if not series:
+                    continue
+                svg = svg_line_chart(
+                    series, f"ECDF: {c} (train vs test)", c,
+                    "cumulative fraction",
+                )
+                with open(os.path.join(plots_dir, f"ecdf_{c}.svg"), "w") as f:
+                    f.write(svg)
+
+    from tanml_spark.report import (build_report, collect_plots,
+                                    render_html, render_markdown)
 
     # overall verdict comes from the REPORT (covers per-partition
     # constraint verdicts too, not just the suite checks run above)
@@ -107,7 +131,7 @@ def main() -> None:
     with open(report_path, "w") as f:
         f.write(render_markdown(summary))
     with open(os.path.join(args.run_dir, "report.html"), "w") as f:
-        f.write(render_html(summary))
+        f.write(render_html(summary, collect_plots(args.run_dir)))
     with open(os.path.join(args.run_dir, "report.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
     print(json.dumps({

@@ -358,16 +358,52 @@ PSI_AUTO_CARDINALITY = 100_000  # per-column distinct estimate above which
                                 # the bucket-first plan wins
 
 
+def psi_driver_from_condensed(
+    cond: DataFrame, bins: int = 10, driver_budget: int = KS_DRIVER_MAX,
+) -> DataFrame | None:
+    """Driver-numpy PSI behind the same one-action limit probe as the
+    KS fast path: a probe within ``driver_budget`` IS the complete
+    condensed table, so every column's PSI computes via
+    suite.psi_from_counts (byte-identical reference arithmetic) with no
+    broadcast-join rounds. Returns None when the probe truncates —
+    caller falls back to the distributed plan."""
+    import numpy as np
+
+    from tanml_spark.suite import psi_from_counts  # lazy sibling import
+
+    spark = cond.sparkSession
+    pdf = cond.limit(driver_budget + 1).toPandas()
+    if len(pdf) > driver_budget:
+        return None
+    rows = []
+    for c in sorted(pdf["column"].unique()):
+        sub = pdf[pdf["column"] == c]
+        rows.append((
+            str(c),
+            psi_from_counts(
+                sub["value"].to_numpy(dtype=np.float64),
+                sub["ce"].to_numpy(dtype=np.float64),
+                sub["ca"].to_numpy(dtype=np.float64),
+                bins,
+            ),
+        ))
+    return spark.createDataFrame(rows, "column string, psi double")
+
+
 def psi_table(
     expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10,
     mode: str = "condensed",
+    driver_budget: int = KS_DRIVER_MAX,
 ) -> DataFrame:
     """Per-column PSI: returns (column, psi). NaN when a side is empty.
 
-    mode: "condensed" (exact sufficient statistics, also feed KS),
-    "binned" (bucket-first, O(bins·k) shuffle — continuous columns at
-    corpus scale), or "auto" (one approx_count_distinct pre-pass picks
-    per the PSI_AUTO_CARDINALITY threshold)."""
+    mode: "condensed" (exact sufficient statistics, also feed KS;
+    low-cardinality inputs finish on the driver via the same
+    limit-probe fast path as ks_table — set ``driver_budget=0`` to
+    force the distributed plan), "binned" (bucket-first, O(bins·k)
+    shuffle — continuous columns at corpus scale), or "auto" (one
+    approx_count_distinct pre-pass picks per the PSI_AUTO_CARDINALITY
+    threshold)."""
     if mode == "binned":
         return psi_bins(expected, actual, columns, bins)
     if mode == "auto":
@@ -376,7 +412,20 @@ def psi_table(
         ]).collect()[0]
         if max(est[c] or 0 for c in columns) > PSI_AUTO_CARDINALITY:
             return psi_bins(expected, actual, columns, bins)
-    return psi_from_condensed(condense(expected, actual, columns), bins)
+    cond = condense(expected, actual, columns)
+    if driver_budget:
+        fast = psi_driver_from_condensed(cond, bins, driver_budget)
+        if fast is not None:
+            # seed requested columns absent from the data with NaN
+            # (psi_from_condensed's seed-join contract)
+            spark = expected.sparkSession
+            seed = spark.createDataFrame([(c,) for c in columns],
+                                         "column string")
+            return seed.join(fast, "column", "left").select(
+                "column",
+                F.coalesce(F.col("psi"), F.lit(float("nan"))).alias("psi"),
+            )
+    return psi_from_condensed(cond, bins)
 
 
 def ks_table(

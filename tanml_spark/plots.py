@@ -1,0 +1,353 @@
+"""Diagnostic plots as dependency-free inline SVG.
+
+Engine analog of the reference's evaluation plots
+(tanml/ui/views/evaluation/tabs/plots.py:44-231: ECDF, ROC, residual
+histogram, SHAP beeswarm — matplotlib figures in a Streamlit tab).
+No plotting library exists in this environment, and at 10^12 rows a
+figure must never be drawn from row-level data anyway, so each plot
+here is split into:
+
+- a PLOT-DATA function: the heavy reduction runs distributed (condensed
+  per-value counts, bucketed histograms, rank aggregates) and returns a
+  few hundred driver-side points, bounded regardless of input rows;
+- a RENDER function: pure-string SVG from those points — thin marks,
+  2px lines, recessive axes, direct series labels, native <title>
+  hover tooltips (the no-JS hover layer a self-contained report can
+  carry), and a categorical palette validated for CVD separation and
+  surface contrast (blue #2a78d6 / orange #eb6834 on #fcfcfb).
+
+write_report embeds every ``plots/*.svg`` found in a run dir into
+report.html, so producers (jobs/validate.py drops drift ECDFs) and the
+report stay decoupled.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# validated reference palette (scripts/validate_palette.js: all checks
+# pass for the pair on the light surface)
+SURFACE = "#fcfcfb"
+INK = "#0b0b0b"
+INK_2 = "#52514e"
+GRID = "#e4e4e0"
+SERIES = ["#2a78d6", "#eb6834"]  # blue, orange
+
+W, H = 460, 280
+ML, MR, MT, MB = 52, 16, 34, 40  # margins: left/right/top/bottom
+
+
+# --------------------------------------------------------------- plot data
+def ecdf_plot_data(
+    expected: DataFrame, actual: DataFrame, column: str, points: int = 200,
+    driver_budget: int = 100_000,
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Two downsampled ECDF polylines {side: (values, cum_fraction)}.
+    One condensed pass (distinct values, not rows) behind the same
+    limit probe as the KS fast path; a truncated probe (continuous
+    column at scale) falls back to a 512-bucket histogram CDF — at
+    polyline resolution the two are indistinguishable."""
+    from tanml_spark.checks.drift import condense
+
+    cond = condense(expected, actual, [column])
+    pdf = cond.limit(driver_budget + 1).toPandas()
+    if len(pdf) > driver_budget:  # bucket-first CDF, O(bins) rows
+        lo, hi = expected.agg(
+            F.min(F.col(column).cast("double")),
+            F.max(F.col(column).cast("double")),
+        ).collect()[0]
+        lo, hi = float(lo), float(hi if hi != lo else lo + 1)
+        nb = 512
+        width = (hi - lo) / nb
+        b = F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(nb - 1),
+        )
+        pdf = (
+            cond.groupBy(b.alias("bkt"))
+            .agg(F.sum("ce").alias("ce"), F.sum("ca").alias("ca"))
+            .toPandas()
+        )
+        pdf["value"] = lo + (pdf["bkt"] + 1) * width
+    out = {}
+    for side, cnt_col in (("train", "ce"), ("test", "ca")):
+        sub = pdf.sort_values("value")
+        v = sub["value"].to_numpy(dtype=np.float64)
+        c = sub[cnt_col].to_numpy(dtype=np.float64)
+        keep = c > 0
+        v, c = v[keep], c[keep]
+        if len(v) == 0:
+            continue
+        frac = np.cumsum(c) / c.sum()
+        idx = _thin(len(v), points)
+        out[side] = (v[idx], frac[idx])
+    return out
+
+
+def roc_plot_data(
+    scored: DataFrame, label_col: str = "label", score_col: str = "score",
+    points: int = 200,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(fpr, tpr) polyline from condensed per-score counts — the same
+    condensed-rank shape the AUC aggregation uses, never row-level."""
+    pdf = (
+        scored.groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum(F.col(label_col).cast("double")).alias("pos"),
+            F.sum(F.lit(1.0) - F.col(label_col).cast("double")).alias("neg"),
+        )
+        .toPandas()
+        .sort_values("s", ascending=False)
+    )
+    pos = pdf["pos"].to_numpy(dtype=np.float64)
+    neg = pdf["neg"].to_numpy(dtype=np.float64)
+    P, N = pos.sum(), neg.sum()
+    tpr = np.concatenate(([0.0], np.cumsum(pos) / (P or 1.0)))
+    fpr = np.concatenate(([0.0], np.cumsum(neg) / (N or 1.0)))
+    idx = _thin(len(tpr), points)
+    return fpr[idx], tpr[idx]
+
+
+def residual_hist_data(
+    scored: DataFrame, label_col: str = "label",
+    pred_col: str = "prediction", bins: int = 30,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(bin_edges, counts) of prediction residuals: one min/max agg +
+    one bucketed count — O(bins) driver rows at any input size."""
+    r = (F.col(pred_col) - F.col(label_col)).cast("double")
+    d = scored.select(r.alias("res")).filter(~F.isnan("res"))
+    lo, hi = d.agg(F.min("res"), F.max("res")).collect()[0]
+    if lo is None or hi is None:
+        return np.array([0.0, 1.0]), np.array([0])
+    if lo == hi:
+        lo, hi = lo - 0.5, hi + 0.5
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.floor((F.col("res") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    got = {
+        r_["b"]: r_["n"]
+        for r_ in d.groupBy(bucket.alias("b")).agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    counts = np.array([got.get(i, 0) for i in range(bins)])
+    edges = lo + width * np.arange(bins + 1)
+    return edges, counts
+
+
+def shap_beeswarm_data(sv: DataFrame, max_per_feature: int = 300) -> dict:
+    """{feature: shap_value array} from a shap_values frame (already
+    test_n x k rows — small by the check's own sampling caps), capped
+    per feature for the figure."""
+    pdf = sv.select("feature", "shap_value").toPandas()
+    out = {}
+    for feat, sub in pdf.groupby("feature"):
+        vals = sub["shap_value"].to_numpy(dtype=np.float64)
+        out[str(feat)] = vals[:max_per_feature]
+    # rank features by mean |shap| descending (the beeswarm's row order)
+    return dict(sorted(out.items(),
+                       key=lambda kv: -np.abs(kv[1]).mean()))
+
+
+def _thin(n: int, points: int) -> np.ndarray:
+    if n <= points:
+        return np.arange(n)
+    idx = np.linspace(0, n - 1, points).astype(int)
+    return np.unique(idx)
+
+
+# ------------------------------------------------------------- SVG render
+def _frame(title: str, xlabel: str, ylabel: str, body: str,
+           legend: list[tuple[str, str]] | None = None) -> str:
+    """Chart chrome: surface, title (primary ink), axis labels
+    (secondary ink), optional legend row (swatch + text label)."""
+    t = _html.escape(title)
+    leg = ""
+    if legend and len(legend) >= 2:  # single series: the title names it
+        # right-aligned swatch row on the title line (titles are left-
+        # aligned at ML; the two never collide for <=3 short series)
+        x = W - MR - sum(14 + 7 * len(n) + 18 for n, _ in legend)
+        items = []
+        for name, color in legend:
+            items.append(
+                f'<rect x="{x}" y="{MT - 26}" width="10" height="10" rx="2"'
+                f' fill="{color}"/>'
+                f'<text x="{x + 14}" y="{MT - 17}" font-size="11"'
+                f' fill="{INK_2}">{_html.escape(name)}</text>'
+            )
+            x += 14 + 7 * len(name) + 18
+        leg = "".join(items)
+    return (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}"'
+        f' viewBox="0 0 {W} {H}" role="img" aria-label="{t}"'
+        f' font-family="system-ui, sans-serif">'
+        f'<rect width="{W}" height="{H}" fill="{SURFACE}"/>'
+        f'<text x="{ML}" y="16" font-size="13" font-weight="600"'
+        f' fill="{INK}">{t}</text>{leg}'
+        f'<text x="{(ML + W - MR) / 2}" y="{H - 6}" font-size="11"'
+        f' text-anchor="middle" fill="{INK_2}">{_html.escape(xlabel)}</text>'
+        f'<text x="12" y="{(MT + H - MB) / 2}" font-size="11"'
+        f' text-anchor="middle" fill="{INK_2}"'
+        f' transform="rotate(-90 12 {(MT + H - MB) / 2})">'
+        f'{_html.escape(ylabel)}</text>'
+        + body + "</svg>"
+    )
+
+
+def _scale(vals, lo, hi, out_lo, out_hi):
+    span = (hi - lo) or 1.0
+    return out_lo + (np.asarray(vals, dtype=float) - lo) / span * (out_hi - out_lo)
+
+
+def _axes(x_ticks, y_ticks, xfmt="{:g}", yfmt="{:g}") -> str:
+    """Recessive grid + tick labels (no spines heavier than the grid)."""
+    parts = []
+    for xv, xp in x_ticks:
+        parts.append(
+            f'<line x1="{xp:.1f}" y1="{MT}" x2="{xp:.1f}" y2="{H - MB}"'
+            f' stroke="{GRID}" stroke-width="1"/>'
+            f'<text x="{xp:.1f}" y="{H - MB + 14}" font-size="10"'
+            f' text-anchor="middle" fill="{INK_2}">{xfmt.format(xv)}</text>'
+        )
+    for yv, yp in y_ticks:
+        parts.append(
+            f'<line x1="{ML}" y1="{yp:.1f}" x2="{W - MR}" y2="{yp:.1f}"'
+            f' stroke="{GRID}" stroke-width="1"/>'
+            f'<text x="{ML - 6}" y="{yp + 3:.1f}" font-size="10"'
+            f' text-anchor="end" fill="{INK_2}">{yfmt.format(yv)}</text>'
+        )
+    return "".join(parts)
+
+
+def _ticks(lo, hi, n=5):
+    return np.linspace(lo, hi, n)
+
+
+def svg_line_chart(
+    series: dict[str, tuple[np.ndarray, np.ndarray]],
+    title: str, xlabel: str, ylabel: str,
+    diagonal: bool = False,
+) -> str:
+    """Multi-series 2px line chart with direct end labels, a legend for
+    >= 2 series, recessive grid, and <title> hover on sampled vertices."""
+    allx = np.concatenate([s[0] for s in series.values()]) if series else np.array([0, 1])
+    ally = np.concatenate([s[1] for s in series.values()]) if series else np.array([0, 1])
+    xlo, xhi = float(allx.min()), float(allx.max())
+    ylo, yhi = float(min(ally.min(), 0)), float(ally.max())
+    body = [_axes(
+        [(v, _scale(v, xlo, xhi, ML, W - MR)) for v in _ticks(xlo, xhi)],
+        [(v, _scale(v, ylo, yhi, H - MB, MT)) for v in _ticks(ylo, yhi)],
+        xfmt="{:.3g}", yfmt="{:.2g}",
+    )]
+    if diagonal:
+        body.append(
+            f'<line x1="{ML}" y1="{H - MB}" x2="{W - MR}" y2="{MT}"'
+            f' stroke="{INK_2}" stroke-width="1" stroke-dasharray="4 4"'
+            f' opacity="0.6"/>'
+        )
+    legend = []
+    for i, (name, (xs, ys)) in enumerate(series.items()):
+        color = SERIES[i % len(SERIES)]
+        legend.append((name, color))
+        px = _scale(xs, xlo, xhi, ML, W - MR)
+        py = _scale(ys, ylo, yhi, H - MB, MT)
+        pts = " ".join(f"{a:.1f},{b:.1f}" for a, b in zip(px, py))
+        body.append(
+            f'<polyline points="{pts}" fill="none" stroke="{color}"'
+            f' stroke-width="2" stroke-linejoin="round"/>'
+        )
+        # direct label at the line end (text in ink, swatch carries hue)
+        body.append(
+            f'<text x="{min(px[-1] + 4, W - MR - 2):.1f}" y="{py[-1] - 4:.1f}"'
+            f' font-size="10" fill="{INK_2}">{_html.escape(name)}</text>'
+        )
+        # hover layer: invisible >=8px targets with native tooltips on
+        # ~25 sampled vertices
+        for j in _thin(len(px), 25):
+            body.append(
+                f'<circle cx="{px[j]:.1f}" cy="{py[j]:.1f}" r="6"'
+                f' fill="transparent"><title>'
+                f'{_html.escape(name)}: x={xs[j]:.4g}, y={ys[j]:.4g}'
+                f'</title></circle>'
+            )
+    return _frame(title, xlabel, ylabel, "".join(body), legend)
+
+
+def svg_histogram(edges: np.ndarray, counts: np.ndarray,
+                  title: str, xlabel: str) -> str:
+    """Single-hue histogram: thin bars, 2px surface gaps, rounded data
+    ends, per-bar <title> hover; no legend (one series)."""
+    n = len(counts)
+    xlo, xhi = float(edges[0]), float(edges[-1])
+    ymax = float(counts.max() or 1)
+    body = [_axes(
+        [(v, _scale(v, xlo, xhi, ML, W - MR)) for v in _ticks(xlo, xhi)],
+        [(v, _scale(v, 0, ymax, H - MB, MT)) for v in _ticks(0, ymax)],
+        xfmt="{:.3g}", yfmt="{:.0f}",
+    )]
+    span = (W - MR - ML) / n
+    bw = max(span - 2, 1.0)  # 2px surface gap between fills
+    for i in range(n):
+        x = ML + i * span + 1
+        y = _scale(counts[i], 0, ymax, H - MB, MT)
+        h = (H - MB) - y
+        if h <= 0:
+            continue
+        rx = min(2.0, bw / 2, h / 2)  # sub-radius bars stay well-formed
+        body.append(
+            f'<path d="M{x:.1f},{H - MB} v{-(h - rx):.1f}'
+            f' q0,{-rx} {rx},{-rx} h{bw - 2 * rx:.1f}'
+            f' q{rx},0 {rx},{rx} v{h - rx:.1f} z"'
+            f' fill="{SERIES[0]}">'
+            f'<title>[{edges[i]:.4g}, {edges[i + 1]:.4g}): '
+            f'{int(counts[i])}</title></path>'
+        )
+    return _frame(title, xlabel, "count", "".join(body))
+
+
+def svg_beeswarm(groups: dict[str, np.ndarray], title: str,
+                 xlabel: str = "attribution") -> str:
+    """Per-feature attribution strip plot: one row per feature, 8px
+    markers with deterministic jitter, zero line, per-dot hover."""
+    feats = list(groups)[:10]
+    if not feats:
+        return _frame(title, xlabel, "", "")
+    allv = np.concatenate([groups[f] for f in feats])
+    xlo, xhi = float(min(allv.min(), 0)), float(max(allv.max(), 0))
+    rows = len(feats)
+    row_h = (H - MT - MB) / rows
+    body = [_axes(
+        [(v, _scale(v, xlo, xhi, ML, W - MR)) for v in _ticks(xlo, xhi)],
+        [], xfmt="{:.3g}",
+    )]
+    zx = _scale(0.0, xlo, xhi, ML, W - MR)
+    body.append(
+        f'<line x1="{zx:.1f}" y1="{MT}" x2="{zx:.1f}" y2="{H - MB}"'
+        f' stroke="{INK_2}" stroke-width="1" opacity="0.6"/>'
+    )
+    for i, f_ in enumerate(feats):
+        cy = MT + (i + 0.5) * row_h
+        body.append(
+            f'<text x="{ML - 6}" y="{cy + 3:.1f}" font-size="10"'
+            f' text-anchor="end" fill="{INK}">{_html.escape(f_)}</text>'
+        )
+        vals = groups[f_]
+        px = _scale(vals, xlo, xhi, ML, W - MR)
+        # deterministic jitter from the value's own hash (partition- and
+        # rerun-stable), bounded to the row band
+        jit = (np.abs(np.frombuffer(
+            np.round(vals, 9).tobytes(), dtype=np.uint64,
+        ).astype(np.float64)) % 997) / 997.0
+        py = cy + (jit - 0.5) * min(row_h - 10, 18)
+        for x, y, v in zip(px, py, vals):
+            body.append(
+                f'<circle cx="{x:.1f}" cy="{y:.1f}" r="4" fill="{SERIES[0]}"'
+                f' fill-opacity="0.45" stroke="{SURFACE}" stroke-width="1">'
+                f'<title>{_html.escape(f_)}: {v:+.5g}</title></circle>'
+            )
+    return _frame(title, xlabel, "", "".join(body))

@@ -129,13 +129,17 @@ def _inline_md(text: str) -> str:
     return out
 
 
-def render_html(summary: dict) -> str:
+def render_html(summary: dict, plots: dict[str, str] | None = None) -> str:
     """Self-contained single-file HTML from the same summary the
     markdown renderer consumes — the engine's analog of the reference's
     formatted document artifact (tanml/ui/reports/generators.py DOCX
     assembly; r03 VERDICT next-step #9). No dependencies: the report's
     markdown dialect is headers, one table, bold, lists and code, so
-    the converter is ~30 lines of stdlib."""
+    the converter is ~30 lines of stdlib.
+
+    ``plots``: {name: svg} diagnostic figures (tanml_spark/plots.py)
+    embedded inline under a Diagnostics section — write_report collects
+    them from the run dir's ``plots/*.svg``."""
     md = render_markdown(summary)
     body: list[str] = []
     table: list[str] = []
@@ -173,11 +177,31 @@ def render_html(summary: dict) -> str:
         elif s:
             body.append(f"<p>{_inline_md(s)}</p>")
     flush_table()
+    if plots:
+        body.append("<h2>Diagnostics</h2>")
+        for name in sorted(plots):
+            body.append(
+                f"<figure>{plots[name]}"
+                f"<figcaption>{_inline_md(name)}</figcaption></figure>"
+            )
     return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         f"<title>Validation report</title><style>{_HTML_STYLE}</style>"
         "</head><body>" + "\n".join(body) + "</body></html>\n"
     )
+
+
+def collect_plots(run_dir: str) -> dict[str, str]:
+    """{name: svg} for every plots/*.svg a producer dropped in the run
+    dir (e.g. jobs/validate.py's drift ECDFs)."""
+    plots_dir = os.path.join(run_dir, "plots")
+    out = {}
+    if os.path.isdir(plots_dir):
+        for f in sorted(os.listdir(plots_dir)):
+            if f.endswith(".svg"):
+                with open(os.path.join(plots_dir, f)) as fh:
+                    out[f[:-4].replace("_", " ")] = fh.read()
+    return out
 
 
 def write_report(spark: SparkSession, run_dir: str) -> str:
@@ -187,7 +211,7 @@ def write_report(spark: SparkSession, run_dir: str) -> str:
     with open(os.path.join(run_dir, "report.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
     with open(os.path.join(run_dir, "report.html"), "w") as f:
-        f.write(render_html(summary))
+        f.write(render_html(summary, collect_plots(run_dir)))
     md_path = os.path.join(run_dir, "report.md")
     with open(md_path, "w") as f:
         f.write(render_markdown(summary))

@@ -113,6 +113,28 @@ def test_ks_driver_fast_path_equals_distributed(spark):
     assert abs(fast["ks_stat"] - ref_ks(e, a)) < 1e-12
 
 
+def test_psi_driver_fast_path_equals_distributed(spark):
+    """The PSI limit-probe driver path must agree with the distributed
+    condensed plan bit-for-bit, including NaN seeding for columns with
+    an empty side (driver_budget=0 forces the distributed plan)."""
+    rng = np.random.default_rng(31)
+    e = rng.normal(0, 1, 700)
+    a = rng.normal(0.4, 1.2, 600)
+    fast = psi_table(_df(spark, e), _df(spark, a), ["x"]).collect()[0]
+    slow = psi_table(_df(spark, e), _df(spark, a), ["x"],
+                     driver_budget=0).collect()[0]
+    # identical arithmetic; summation ORDER differs (numpy bin order vs
+    # distributed agg order) -> equality to the last few ulps only
+    assert fast["psi"] == pytest.approx(slow["psi"], abs=1e-12)
+    assert abs(fast["psi"] - ref_psi(e, a)) < 1e-9
+    # empty ACTUAL side -> NaN on both paths
+    import math
+    empty = _df(spark, np.array([])).select(F.col("x"))
+    f2 = psi_table(_df(spark, e), empty, ["x"]).collect()[0]
+    s2 = psi_table(_df(spark, e), empty, ["x"], driver_budget=0).collect()[0]
+    assert math.isnan(f2["psi"]) and math.isnan(s2["psi"])
+
+
 def test_ks_identical_distribution_pvalue(spark):
     rng = np.random.default_rng(11)
     e = rng.normal(0, 1, 1000)

@@ -118,3 +118,29 @@ def test_apply_na_vocab_only_strings(spark):
 def test_unknown_format_fails_fast(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         load_table(spark, str(tmp_path / "t.avro"))
+
+
+def test_unknown_extension_sniffs_delimited_text(spark, tmp_path):
+    """Reference data_loader.py:161-178 analog: UCI-style files with
+    non-standard extensions load via a bounded driver-side sniff
+    feeding ONE distributed csv scan."""
+    p = tmp_path / "adult.names"
+    p.write_text("a|b|c\n1|x|2.5\n3|y|4.5\n")
+    df = load_table(spark, str(p))
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 2
+    # comma takes precedence (the reference tries comma first)
+    q = tmp_path / "iris.info"
+    q.write_text("a,b\n1,2\n")
+    assert load_table(spark, str(q)).count() == 1
+    # semicolon sniffed
+    r = tmp_path / "wine.data2"
+    r.write_text("a;b\n1;2\n5;6\n")
+    assert load_table(spark, str(r)).count() == 2
+
+
+def test_unknown_extension_binary_still_fails_fast(spark, tmp_path):
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"\x00\x01\x02PK\x00\x00binarystuff")
+    with pytest.raises(ValueError, match="unsupported format"):
+        load_table(spark, str(p))

@@ -1,0 +1,124 @@
+"""Diagnostic plots (tanml_spark/plots.py): distributed plot data vs
+numpy references, and SVG structure (marks, legend rules, hover layer,
+validated palette)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tanml_spark.plots import (
+    SERIES,
+    ecdf_plot_data,
+    residual_hist_data,
+    roc_plot_data,
+    shap_beeswarm_data,
+    svg_beeswarm,
+    svg_histogram,
+    svg_line_chart,
+)
+
+
+def _df(spark, arr, col="x"):
+    return spark.createDataFrame([(float(v),) for v in arr], f"{col} double")
+
+
+def test_ecdf_plot_data_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    e = rng.normal(0, 1, 400)
+    a = rng.normal(0.5, 1, 300)
+    out = ecdf_plot_data(_df(spark, e), _df(spark, a), "x", points=10_000)
+    for side, raw in (("train", e), ("test", a)):
+        v, f = out[side]
+        assert np.all(np.diff(v) > 0) and f[-1] == pytest.approx(1.0)
+        # ECDF at each vertex equals fraction of raw values <= v
+        idx = np.linspace(0, len(v) - 1, 20).astype(int)
+        for i in idx:
+            assert f[i] == pytest.approx((raw <= v[i]).mean(), abs=1e-12)
+
+
+def test_ecdf_bucket_fallback_close_to_exact(spark):
+    rng = np.random.default_rng(5)
+    e = rng.normal(0, 1, 2000)
+    a = rng.normal(0.2, 1, 2000)
+    exact = ecdf_plot_data(_df(spark, e), _df(spark, a), "x")
+    approx = ecdf_plot_data(_df(spark, e), _df(spark, a), "x",
+                            driver_budget=10)  # force bucket-first CDF
+    for side in ("train", "test"):
+        v_a, f_a = approx[side]
+        v_e, f_e = exact[side]
+        # bucketed CDF interpolates the exact one within one bin's mass
+        interp = np.interp(v_a, v_e, f_e)
+        assert np.abs(interp - f_a).max() < 0.05
+
+
+def test_roc_plot_data_matches_manual(spark):
+    y = np.array([1, 1, 0, 1, 0, 0, 1, 0])
+    s = np.array([0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2])
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": y.astype(float), "score": s})
+    )
+    fpr, tpr = roc_plot_data(df)
+    assert fpr[0] == tpr[0] == 0.0
+    assert fpr[-1] == tpr[-1] == pytest.approx(1.0)
+    # monotone non-decreasing staircase
+    assert np.all(np.diff(fpr) >= 0) and np.all(np.diff(tpr) >= 0)
+    # point after the two top scores (both positive): tpr=0.5, fpr=0
+    assert (0.0, 0.5) in set(zip(fpr.round(9), tpr.round(9)))
+
+
+def test_residual_hist_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    y = rng.normal(0, 1, 500)
+    p = y + rng.normal(0, 0.3, 500)
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": y, "prediction": p})
+    )
+    edges, counts = residual_hist_data(df, bins=20)
+    res = p - y
+    exp, _ = np.histogram(res, bins=20, range=(res.min(), res.max()))
+    assert counts.sum() == 500
+    assert np.array_equal(counts, exp)
+
+
+def test_beeswarm_data_ranked_by_mean_abs(spark):
+    pdf = pd.DataFrame({
+        "feature": ["a"] * 5 + ["b"] * 5,
+        "shap_value": [0.1] * 5 + [0.9] * 5,
+    })
+    out = shap_beeswarm_data(spark.createDataFrame(pdf))
+    assert list(out) == ["b", "a"]
+
+
+def test_svg_structure_and_rules():
+    xs = np.linspace(0, 1, 50)
+    two = svg_line_chart(
+        {"train": (xs, xs ** 2), "test": (xs, xs ** 0.5)},
+        "ECDF", "value", "fraction",
+    )
+    assert two.startswith("<svg") and two.endswith("</svg>")
+    assert two.count("<polyline") == 2
+    assert 'stroke-width="2"' in two                     # 2px lines
+    assert SERIES[0] in two and SERIES[1] in two          # fixed order
+    assert "<title>" in two                               # hover layer
+    assert ">train</text>" in two                         # direct labels
+    # legend swatches present for 2 series
+    assert two.count('rx="2"') >= 2
+    one = svg_line_chart({"roc": (xs, xs)}, "ROC", "fpr", "tpr",
+                         diagonal=True)
+    assert 'stroke-dasharray="4 4"' in one                # baseline
+    # single series: no legend swatch row (title names it)
+    assert one.count('height="10"') == 0
+
+    hist = svg_histogram(np.linspace(-1, 1, 11), np.arange(10),
+                         "Residuals", "residual")
+    assert hist.count("<path") == 9  # zero-count bin drawn as nothing
+    assert SERIES[1] not in hist      # single hue only
+
+    bees = svg_beeswarm({"inc": np.array([0.5, -0.2]),
+                         "age": np.array([0.1])}, "SHAP")
+    assert bees.count("<circle") == 3
+    assert ">inc</text>" in bees and "<title>" in bees
+    # escaping
+    esc = svg_line_chart({"<b>": (xs, xs)}, "t<br>", "x", "y")
+    assert "<b>" not in esc.replace("&lt;b&gt;", "")

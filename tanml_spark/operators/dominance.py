@@ -173,7 +173,13 @@ def kendall_tau_dominance(
             m = (pdf["bb"] == bb).to_numpy()
             if m.sum() > 1:
                 s_cell += _dom_sum(a[m], b[m], c[m])
-        return pd.DataFrame({"s": [s], "s_cell": [s_cell]})
+        # n / n3 marginals ride along (a-buckets partition cond), so
+        # the separate marginal agg job disappears
+        return pd.DataFrame({
+            "s": [s], "s_cell": [s_cell],
+            "n_g": [float(c.sum())],
+            "n3_g": [float((c * (c - 1.0) / 2.0).sum())],
+        })
 
     def fn_b(pdf: pd.DataFrame) -> pd.DataFrame:
         s = _dom_sum(
@@ -184,10 +190,13 @@ def kendall_tau_dominance(
         return pd.DataFrame({"s": [s]})
 
     ra = (
-        g.groupBy("ba").applyInPandas(fn_a, "s double, s_cell double")
-        .agg(F.sum("s"), F.sum("s_cell")).collect()[0]
+        g.groupBy("ba").applyInPandas(
+            fn_a, "s double, s_cell double, n_g double, n3_g double")
+        .agg(F.sum("s"), F.sum("s_cell"), F.sum("n_g"), F.sum("n3_g"))
+        .collect()[0]
     )
     c_same_a, c_cell = float(ra[0] or 0.0), float(ra[1] or 0.0)
+    n, n3 = float(ra[2] or 0.0), float(ra[3] or 0.0)
     rb = (
         g.groupBy("bb").applyInPandas(fn_b, "s double")
         .agg(F.sum("s")).collect()[0][0]
@@ -195,13 +204,8 @@ def kendall_tau_dominance(
     c_same_b = float(rb or 0.0)
     C = c_grid + c_same_a + (c_same_b - c_cell)
 
-    # marginals (exact integers): n, tie corrections — n1/n2 fused
-    # into ONE job via a stacked (dim, value) groupBy
-    m = cond.agg(
-        F.sum("c").alias("n"),
-        F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2).alias("n3"),
-    ).collect()[0]
-    n, n3 = m["n"], m["n3"]
+    # tie corrections n1/n2: fused into ONE job via a stacked
+    # (dim, value) groupBy (n and n3 already rode along with fn_a)
     stacked = cond.select(
         F.expr("stack(2, 'a', a, 'b', b) as (dim, v)"), "c"
     )

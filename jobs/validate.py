@@ -100,7 +100,7 @@ def main() -> None:
             runner.run_suite(split_ctx, checks=["leakage", "drift"], resume=args.resume)
         )
         if results:  # fresh run (not resume): drop drift ECDF diagnostics
-            from tanml_spark.plots import ecdf_plot_data, svg_line_chart
+            from tanml_spark.plots import ecdf_plot_data_many, svg_line_chart
 
             numeric = {"int", "bigint", "double", "float"}
             cols = [c for c, t in test.dtypes if t in numeric][:3]
@@ -110,8 +110,8 @@ def main() -> None:
                 cols = ["content_len"] + cols
             plots_dir = os.path.join(args.run_dir, "plots")
             os.makedirs(plots_dir, exist_ok=True)
-            for c in cols:
-                series = ecdf_plot_data(train, test, c)
+            # ONE condensed pass over both splits for every plot column
+            for c, series in ecdf_plot_data_many(train, test, cols).items():
                 if not series:
                     continue
                 svg = svg_line_chart(

@@ -128,7 +128,8 @@ def kendall_tau_exact(
         # path instead of re-shuffling the raw data (r03 ADVICE #3 —
         # the duplicated condense hit exactly the large inputs this
         # guard exists for)
-        return kendall_tau_dominance(df, col_a, col_b, cond=cond)
+        return kendall_tau_dominance(df, col_a, col_b, cond=cond,
+                                     est_pairs=k)
     l, r = cond.alias("l"), cond.alias("r")
     ordered = (F.col("l.a") < F.col("r.a")) | (
         (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))

@@ -413,19 +413,20 @@ def psi_table(
         if max(est[c] or 0 for c in columns) > PSI_AUTO_CARDINALITY:
             return psi_bins(expected, actual, columns, bins)
     cond = condense(expected, actual, columns)
+    out = None
     if driver_budget:
-        fast = psi_driver_from_condensed(cond, bins, driver_budget)
-        if fast is not None:
-            # seed requested columns absent from the data with NaN
-            # (psi_from_condensed's seed-join contract)
-            spark = expected.sparkSession
-            seed = spark.createDataFrame([(c,) for c in columns],
-                                         "column string")
-            return seed.join(fast, "column", "left").select(
-                "column",
-                F.coalesce(F.col("psi"), F.lit(float("nan"))).alias("psi"),
-            )
-    return psi_from_condensed(cond, bins)
+        out = psi_driver_from_condensed(cond, bins, driver_budget)
+    if out is None:
+        out = psi_from_condensed(cond, bins)
+    # seed EVERY requested column with NaN when absent — identical row
+    # set from both plans (psi_from_condensed alone seeds only columns
+    # present in the data, and the plan choice is data-dependent)
+    spark = expected.sparkSession
+    seed = spark.createDataFrame([(c,) for c in columns], "column string")
+    return seed.join(out, "column", "left").select(
+        "column",
+        F.coalesce(F.col("psi"), F.lit(float("nan"))).alias("psi"),
+    )
 
 
 def ks_table(

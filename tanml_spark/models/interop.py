@@ -41,9 +41,11 @@ class PredictFnModel:
     ``model``: anything with ``predict(X: np.ndarray) -> np.ndarray``;
     classifiers should also expose ``predict_proba(X) -> (n, k)`` —
     absent that, the probability column degrades to a one-hot of the
-    prediction (documented; AUC-style metrics then reduce to
-    accuracy-like behavior exactly as sklearn's own decision-function-
-    less estimators do under a hard-label ROC).
+    prediction for BINARY 0/1 labels (documented; AUC-style metrics
+    then reduce to accuracy-like behavior exactly as sklearn's own
+    decision-function-less estimators do under a hard-label ROC;
+    multi-class predict-only models are rejected rather than emitting
+    inconsistent vector widths).
 
     ``feature_cols``: the raw numeric columns scored, in the order the
     model was trained on (sklearn models take matrices, not Spark
@@ -57,13 +59,23 @@ class PredictFnModel:
         self.model = model
         self.feature_cols = list(feature_cols)
         self.task = task
+        self._bc = None  # broadcast cache: one copy per SparkContext
+
+    def _broadcast(self, sc):
+        """Broadcast the model ONCE per SparkContext and reuse it —
+        stress/benchmark call transform() dozens of times, and an
+        unbounded broadcast per call would pin that many model copies
+        in block-manager memory for the application lifetime."""
+        if self._bc is None or self._bc[0] is not sc:
+            self._bc = (sc, sc.broadcast(self.model))
+        return self._bc[1]
 
     def transform(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.functions import pandas_udf
 
         cols = self.feature_cols
         task = self.task
-        bc = df.sparkSession.sparkContext.broadcast(self.model)
+        bc = self._broadcast(df.sparkSession.sparkContext)
 
         if task == "classification":
             @pandas_udf("struct<prediction: double, probability: array<double>>")
@@ -75,10 +87,24 @@ class PredictFnModel:
                 proba_fn = getattr(m, "predict_proba", None)
                 if callable(proba_fn):
                     proba = np.asarray(proba_fn(X), dtype=np.float64)
-                else:  # hard-label fallback: one-hot of the prediction
-                    k = int(pred.max()) + 1 if len(pred) else 2
-                    proba = np.zeros((len(pred), max(k, 2)))
-                    proba[np.arange(len(pred)), pred.astype(int)] = 1.0
+                else:
+                    # hard-label fallback: BINARY one-hot only — a
+                    # per-batch inferred width would emit inconsistent
+                    # vector dims across Arrow batches, and negative /
+                    # fractional labels would mis-index silently
+                    labels = pred.astype(np.int64)
+                    if len(pred) and (
+                        np.any(labels != pred)
+                        or labels.min() < 0 or labels.max() > 1
+                    ):
+                        raise ValueError(
+                            "predict-only fallback supports binary 0/1 "
+                            "labels; supply predict_proba for "
+                            "multi-class models"
+                        )
+                    proba = np.zeros((len(pred), 2))
+                    if len(pred):
+                        proba[np.arange(len(pred)), labels] = 1.0
                 return pd.DataFrame(
                     {"prediction": pred, "probability": list(proba)}
                 )

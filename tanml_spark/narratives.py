@@ -256,12 +256,22 @@ def suite_narratives(summary: dict) -> list[str]:
         m = drift["metrics"]
         sev = int(m.get("severe_drift_count", 0) or 0)
         mod = int(m.get("moderate_drift_count", 0) or 0)
-        fake_rows = (
-            [{"column": "feature", "psi": 0.25}] * sev
-            + [{"column": "feature", "psi": 0.15}] * mod
-        )
-        out.append(story_drift(fake_rows) if (sev or mod) else story_drift(
-            [{"column": "-", "psi": 0.0}]))
+        # only counts survive into the report summary — phrase from the
+        # counts directly (the check's own summary string carries the
+        # column names) rather than fabricating placeholder rows
+        if sev:
+            out.append(
+                f"**Critical drift**: {sev} feature(s) shifted "
+                "distribution with PSI > 0.2 — model reliability may "
+                "be compromised."
+            )
+        elif mod:
+            out.append(
+                f"**Monitor**: {mod} feature(s) show slight drift "
+                "(PSI 0.1-0.2) — usually acceptable, worth watching."
+            )
+        else:
+            out.append(story_drift([{"column": "-", "psi": 0.0}]))
     failing = sorted(n for n, c in checks.items() if c["status"] == "fail")
     warning = sorted(n for n, c in checks.items() if c["status"] == "warning")
     if failing:

@@ -84,6 +84,7 @@ def kendall_tau_dominance(
     col_b: str,
     n_buckets: int | None = None,
     cond: DataFrame | None = None,
+    est_pairs: int | None = None,
 ) -> float:
     """Exact Kendall tau-b with no cardinality ceiling (see module
     docstring). Deterministic: cutpoints are collected once and only
@@ -112,9 +113,12 @@ def kendall_tau_dominance(
         cond = cond.select("a", "b", "c")
         d = cond.select("a", "b")
     if n_buckets is None:
-        est = d.agg(
+        # a caller handing over a precondensed frame usually KNOWS the
+        # distinct-pair count (it just ran cond.count()) — est_pairs
+        # skips the redundant sketch job over cond (review r04)
+        est = est_pairs if est_pairs is not None else (d.agg(
             F.approx_count_distinct(F.struct("a", "b")).alias("k")
-        ).collect()[0]["k"] or 1
+        ).collect()[0]["k"] or 1)
         n_buckets = int(min(1024, max(32, -(-est // ROWS_PER_DOM_TASK))))
     # the condensed table feeds five downstream actions (grid, three
     # dominance groups, marginals) — persist it for the duration

@@ -199,16 +199,24 @@ def salted_equi_join(
     measures both plans' per-partition row counts."""
     from tanml_spark.functions.hashing import salted_key
 
+    # NULL keys must stay non-matching exactly as in a plain equi-join:
+    # concat_ws SKIPS null inputs, so an unguarded __sk would collapse a
+    # NULL fact key to the bare salt string and spuriously match a NULL
+    # dim key's replica. A NULL __sk never equi-joins — same semantics.
     fs = fact.withColumn(
-        "__sk", salted_key(F.col(key), F.col(spread_on), n_salts)
+        "__sk",
+        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
+        .otherwise(salted_key(F.col(key), F.col(spread_on), n_salts)),
     )
     dim_cols = [c for c in dim.columns if c != key]
     ds = dim.withColumn(
         "__salt",
         F.explode(F.array(*[F.lit(str(i)) for i in range(n_salts)])),
     ).select(
-        F.concat_ws("#", F.col(key).cast("string"), F.col("__salt"))
-        .alias("__sk"),
+        F.when(F.col(key).isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws("#", F.col(key).cast("string"), F.col("__salt"))
+        ).alias("__sk"),
         *dim_cols,
     )
     return fs.join(ds, "__sk", how).drop("__sk")

@@ -60,6 +60,8 @@ def ecdf_plot_data(
             F.min(F.col(column).cast("double")),
             F.max(F.col(column).cast("double")),
         ).collect()[0]
+        if lo is None or hi is None:  # expected side all-null: no plot
+            return {}
         lo, hi = float(lo), float(hi if hi != lo else lo + 1)
         nb = 512
         width = (hi - lo) / nb
@@ -73,6 +75,10 @@ def ecdf_plot_data(
             .toPandas()
         )
         pdf["value"] = lo + (pdf["bkt"] + 1) * width
+    return _ecdf_series(pdf, points)
+
+
+def _ecdf_series(pdf, points: int) -> dict:
     out = {}
     for side, cnt_col in (("train", "ce"), ("test", "ca")):
         sub = pdf.sort_values("value")
@@ -88,21 +94,48 @@ def ecdf_plot_data(
     return out
 
 
+def ecdf_plot_data_many(
+    expected: DataFrame, actual: DataFrame, columns: list[str],
+    points: int = 200, driver_budget: int = 100_000,
+) -> dict[str, dict]:
+    """{column: ecdf series} for several columns from ONE condensed
+    pass over both sides (each plot column would otherwise re-scan and
+    re-shuffle both splits). A truncated probe falls back to the
+    per-column path (which buckets the offending columns)."""
+    from tanml_spark.checks.drift import condense
+
+    pdf = condense(expected, actual, columns).limit(
+        driver_budget + 1).toPandas()
+    if len(pdf) > driver_budget:
+        return {
+            c: ecdf_plot_data(expected, actual, c, points, driver_budget)
+            for c in columns
+        }
+    return {
+        c: _ecdf_series(pdf[pdf["column"] == c], points) for c in columns
+    }
+
+
 def roc_plot_data(
     scored: DataFrame, label_col: str = "label", score_col: str = "score",
-    points: int = 200,
+    points: int = 200, driver_budget: int = 100_000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(fpr, tpr) polyline from condensed per-score counts — the same
-    condensed-rank shape the AUC aggregation uses, never row-level."""
-    pdf = (
-        scored.groupBy(F.col(score_col).alias("s"))
-        .agg(
+    condensed-rank shape the AUC aggregation uses, never row-level.
+    Continuous scores (condensed cardinality past ``driver_budget``,
+    detected by the limit probe) re-condense on the score rounded to
+    6 dp — at polyline resolution the curve is unchanged, and the
+    driver transfer stays bounded (<= 2e6 distinct rounded scores)."""
+    def _cond(score_expr):
+        return scored.groupBy(score_expr.alias("s")).agg(
             F.sum(F.col(label_col).cast("double")).alias("pos"),
             F.sum(F.lit(1.0) - F.col(label_col).cast("double")).alias("neg"),
         )
-        .toPandas()
-        .sort_values("s", ascending=False)
-    )
+
+    probe = _cond(F.col(score_col)).limit(driver_budget + 1).toPandas()
+    if len(probe) > driver_budget:
+        probe = _cond(F.round(F.col(score_col).cast("double"), 6)).toPandas()
+    pdf = probe.sort_values("s", ascending=False)
     pos = pdf["pos"].to_numpy(dtype=np.float64)
     neg = pdf["neg"].to_numpy(dtype=np.float64)
     P, N = pos.sum(), neg.sum()

@@ -201,7 +201,13 @@ def _sniff_delimited(path: str, fmt: str) -> tuple[str, str]:
         try:
             sample = raw.decode(enc)
         except UnicodeDecodeError:
-            continue
+            # the head READ may have truncated a multi-byte character
+            # mid-sequence; a tail-only error must not silently demote
+            # a valid UTF-8 file to latin-1 for the whole scan
+            try:
+                sample = raw[:-4].decode(enc)
+            except UnicodeDecodeError:
+                continue
         if "\x00" in sample:  # binary masquerading as text
             break
         first = sample.splitlines()[0] if sample.splitlines() else ""

@@ -160,3 +160,23 @@ def test_salted_join_bounds_max_task_input(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_null_keys_match_plain_join(spark):
+    """NULL fact/dim keys must NOT spuriously match (concat_ws skips
+    nulls — review r04): salted results equal the plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from tanml_spark.operators.joins import salted_equi_join
+
+    facts = spark.createDataFrame(
+        [("a", "p1"), (None, "p2"), ("b", "p3")], "repo string, path string"
+    )
+    dim = spark.createDataFrame(
+        [("a", 1), (None, 9)], "repo string, attr int"
+    )
+    plain = facts.join(dim, "repo").select("repo", "path", "attr").collect()
+    salted = salted_equi_join(facts, dim, "repo", "path", 4).select(
+        "repo", "path", "attr").collect()
+    assert sorted(plain) == sorted(salted)
+    assert len(salted) == 1  # only the 'a' row; NULLs never join

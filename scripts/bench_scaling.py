@@ -30,20 +30,29 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--scaling-rows", type=int, default=2_000_000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--from-json", default=None,
+                    help="render BENCH/BASELINE.md from an existing "
+                         "bench.py JSON line instead of re-running "
+                         "(the file must have been produced with the "
+                         "same --rows/--reps configuration)")
     args = ap.parse_args()
 
-    env = dict(os.environ)
-    env.update({
-        "TANML_BENCH_ROWS": str(args.rows),
-        "TANML_BENCH_REPS": str(args.reps),
-        "TANML_BENCH_SCALING_ROWS": str(args.scaling_rows),
-        "SPARK_GRAFT_SF_DIR": args.sf_dir,
-    })
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    )
-    r = json.loads(out.stdout.strip().splitlines()[-1])
+    if args.from_json:
+        with open(args.from_json) as f:
+            r = json.loads(f.read().strip().splitlines()[-1])
+    else:
+        env = dict(os.environ)
+        env.update({
+            "TANML_BENCH_ROWS": str(args.rows),
+            "TANML_BENCH_REPS": str(args.reps),
+            "TANML_BENCH_SCALING_ROWS": str(args.scaling_rows),
+            "SPARK_GRAFT_SF_DIR": args.sf_dir,
+        })
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
     s = r["scaling"]
     eff = r["eff_median"]
     deterministic = r["deterministic"]

@@ -647,6 +647,54 @@ FROM ranked WHERE rn <= 5 GROUP BY rk
 """
 
 
+# ------------------------- q: repetition / boilerplate (r04, oracled)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/text.py:repetition_stats): duplicate-bigram mass and
+    top-bigram fraction per document — the machine-generated-text
+    filter family. Fractions are re-derived from the INTEGER gram
+    counts in the projection so both engines round the same exact
+    ratio once."""
+    from tanml_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = repetition_stats(docs, "text", "doc_id", n=2)
+    return out.select(
+        "doc_id", "n_grams", "distinct_grams",
+        F.round(1.0 - F.col("distinct_grams") / F.col("n_grams"), 6)
+        .alias("dup_gram_frac"),
+        F.round(F.col("top_gram_frac"), 6).alias("top_gram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> len(x) > 0) AS t
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+           AS gram
+  FROM toks WHERE len(t) >= 2
+), pg AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         count(*) AS distinct_grams,
+         max(c) AS top_c
+  FROM pg GROUP BY 1
+)
+SELECT tk.doc_id,
+       agg.n_grams,
+       agg.distinct_grams,
+       round(1.0 - agg.distinct_grams / agg.n_grams, 6) AS dup_gram_frac,
+       round(round(agg.top_c * 1.0 / agg.n_grams, 9), 6) AS top_gram_frac
+FROM toks tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+"""
+
+
 # ---------------------- q: Kendall via dominance counting (r03, oracled)
 def q_kendall_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Kendall tau-b over a CONTINUOUS pair (l_extendedprice is
@@ -863,6 +911,7 @@ def all_queries3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_dominance": q_kendall_dominance,
         "stream_hourly": q_stream_hourly,
         "contamination": q_contamination,
+        "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "range_join": q_range_join,
     }
@@ -883,6 +932,7 @@ def all_oracles3() -> dict[str, str]:
         "kendall_dominance": SQL_KENDALL_DOMINANCE,
         "stream_hourly": SQL_STREAM_HOURLY,
         "contamination": SQL_CONTAMINATION,
+        "repetition_stats": SQL_REPETITION_STATS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "range_join": SQL_RANGE_JOIN,
     }

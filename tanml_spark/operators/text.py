@@ -145,3 +145,55 @@ def fingerprint_portable(df: DataFrame, text_col: str = "text", k: int = 8,
         F.when(n >= k, F.array_min(sh)).otherwise(F.substring(F.md5(c), 1, 16))
     )
     return df.withColumn(out_col, fp)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition / boilerplate quality signals per doc:
+    (id, n_grams, distinct_grams, dup_gram_frac, top_gram_frac).
+
+    dup_gram_frac = 1 − distinct/total n-grams (mass sitting in
+    repeats); top_gram_frac = count of the most frequent n-gram /
+    total — the two strongest machine-generated-text signals in the
+    Gopher/C4 quality-filter family (high values flag template spam,
+    keyword stuffing, decode loops).
+
+    Plan: token array projected ONCE (a multi-referenced alias would
+    otherwise re-run the split per shingle), n-grams WITH multiplicity
+    via a sequence transform, one explode + groupBy(id, gram) count,
+    one per-id aggregate — shuffles on (id, gram) then id, never on
+    pairs. Docs with fewer than ``n`` tokens yield zero grams and are
+    emitted with NULL fractions (explode drops them; left join back)."""
+    toked = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tok")
+    )
+    sz = F.size("__tok")
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__tok", i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    x = toked.select("__id", F.explode(grams).alias("gram"))
+    per_gram = x.groupBy("__id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy("__id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("c").alias("top_c"),
+    )
+    out = toked.select("__id").join(agg, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("n_grams"),
+        F.col("distinct_grams"),
+        F.round(1.0 - F.col("distinct_grams") / F.col("n_grams"), 9)
+        .alias("dup_gram_frac"),
+        F.round(F.col("top_c") / F.col("n_grams"), 9).alias("top_gram_frac"),
+    )
+    return out

@@ -187,3 +187,38 @@ def test_connected_components_matches_union_find(spark):
     got2 = {r["id"]: r["cluster_id"]
             for r in connected_components(pairs.repartition(7)).collect()}
     assert got2 == expected
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    """Gopher-style repetition signals vs a python reimplementation;
+    docs with <n tokens (or null text) emit NULL fractions."""
+    from collections import Counter
+
+    from tanml_spark.operators.text import repetition_stats
+
+    docs = [
+        (0, "spam spam spam spam ham"),
+        (1, "all tokens are unique here truly"),
+        (2, "one"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_stats(df, "text", "doc_id", n=2).collect()}
+    for did, text in docs[:2]:
+        toks = [t for t in (text or "").lower().split() if t]
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        c = Counter(grams)
+        r = got[did]
+        assert r["n_grams"] == len(grams)
+        assert r["distinct_grams"] == len(c)
+        assert r["dup_gram_frac"] == pytest.approx(
+            1 - len(c) / len(grams), abs=1e-9)
+        assert r["top_gram_frac"] == pytest.approx(
+            max(c.values()) / len(grams), abs=1e-9)
+    # "spam spam" dominates doc 0: high repetition signal
+    assert got[0]["dup_gram_frac"] > 0.4 and got[0]["top_gram_frac"] > 0.6
+    assert got[1]["dup_gram_frac"] == 0.0
+    for did in (2, 3):  # too short / null: present with NULL fractions
+        assert got[did]["n_grams"] is None
+        assert got[did]["dup_gram_frac"] is None

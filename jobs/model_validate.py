@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""End-to-end MODEL validation job — the engine analog of the
+reference's core UX (tanml/ui/views/evaluation/main.py:325-381: load
+train/test, fit or accept a model, run the check battery, emit a
+formatted report).
+
+    spark-submit --py-files engine.zip jobs/model_validate.py \
+        --train train.parquet --test test.parquet \
+        --label target --features a,b,c [--task classification] \
+        [--algo LogisticRegression --params '{"max_iter": 50}'] \
+        [--model-pickle model.pkl] \
+        --run-dir /path/run
+
+Model source is either a registry algo (fit DISTRIBUTED via
+pyspark.ml, models/registry.py) or a pickled sklearn-style object
+(scored via models/interop.PredictFnModel — one broadcast + one Arrow
+pandas_udf; the model's class must be importable on executors).
+
+Artifacts in --run-dir: metrics.json (train/test batteries, stress
+rows, importance table, drift table, benchmark table), plots/*.svg
+(ROC or residual histogram, permutation-importance-ranked SHAP
+beeswarm for linear/pickled models, drift ECDFs), report.md /
+report.html with the narrative findings (narratives.py — the
+reference's story_* bands). Prints ONE JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", required=True)
+    ap.add_argument("--test", required=True)
+    ap.add_argument("--label", required=True)
+    ap.add_argument("--features", required=True,
+                    help="comma-separated feature columns")
+    ap.add_argument("--task", default="classification",
+                    choices=["classification", "regression"])
+    ap.add_argument("--algo", default="LogisticRegression")
+    ap.add_argument("--params", default="{}")
+    ap.add_argument("--model-pickle", default=None)
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--stress-features", type=int, default=4)
+    ap.add_argument("--cores", type=int, default=0)
+    args = ap.parse_args()
+
+    from tanml_spark.session import get_spark
+    from tanml_spark.sources.loader import load_table
+
+    spark = (get_spark("model_validate", cores=args.cores)
+             if args.cores else
+             __import__("pyspark.sql", fromlist=["SparkSession"])
+             .SparkSession.builder.getOrCreate())
+    feats = [c for c in args.features.split(",") if c]
+    label = args.label
+    train = load_table(spark, args.train).na.drop(subset=feats + [label]).cache()
+    test = load_table(spark, args.test).na.drop(subset=feats + [label]).cache()
+
+    # ---- model: pyspark.ml fit OR pickled sklearn-style adapter ----
+    predict_fn = None
+    if args.model_pickle:
+        import pickle
+
+        from tanml_spark.models.interop import PredictFnModel, numpy_predict_fn
+
+        with open(args.model_pickle, "rb") as fh:
+            obj = pickle.load(fh)
+        model = PredictFnModel(obj, feats, task=args.task)
+        predict_fn = numpy_predict_fn(obj, args.task)
+    else:
+        from pyspark.ml import Pipeline
+        from pyspark.ml.feature import VectorAssembler
+
+        from tanml_spark.models.registry import build_estimator
+
+        est = build_estimator("pyspark.ml", args.algo,
+                              json.loads(args.params), label_col=label)
+        va = VectorAssembler(inputCols=feats, outputCol="features")
+        model = Pipeline(stages=[va, est]).fit(train)
+        stage = model.stages[-1]
+        if hasattr(stage, "coefficients"):  # linear family -> SHAP-able
+            from tanml_spark.checks.explainability import linear_predict_fn
+
+            predict_fn = linear_predict_fn(stage, args.task)
+
+    def score(frame):
+        out = model.transform(frame)
+        if args.task == "classification":
+            from pyspark.ml.functions import vector_to_array
+
+            return out.select(
+                F.col(label).alias("label"),
+                F.col("prediction").cast("int").alias("prediction"),
+                vector_to_array("probability").getItem(1).alias("score"),
+            )
+        return out.select(F.col(label).alias("label"), "prediction")
+
+    from tanml_spark.checks.metrics import (classification_metrics,
+                                            regression_metrics, roc_auc)
+
+    if args.task == "classification":
+        m_train = classification_metrics(score(train), score_col="score")
+        m_test = classification_metrics(score(test), score_col="score")
+        m_train["roc_auc"] = roc_auc(score(train), "label", "score")
+        m_test["roc_auc"] = roc_auc(score(test), "label", "score")
+    else:
+        m_train = regression_metrics(score(train))
+        m_test = regression_metrics(score(test))
+
+    # ---- checks: stress, importance, drift, baseline benchmark ----
+    from tanml_spark.checks.benchmark import benchmark_models
+    from tanml_spark.checks.drift import analyze_drift
+    from tanml_spark.checks.explainability import permutation_importance
+    from tanml_spark.checks.stress import stress_test
+
+    test_id = test.withColumn("__sid", F.xxhash64(*[F.col(c) for c in feats]))
+    stress_rows = stress_test(
+        model, test_id, feats[: args.stress_features], label_col=label,
+        task_type=args.task, id_col="__sid",
+    )
+    imp = permutation_importance(
+        model, test, feats, label_col=label, task_type=args.task,
+    ).toPandas()
+    drift_rows = [r.asDict() for r in
+                  analyze_drift(train, test, feats).collect()]
+    bench = benchmark_models(
+        train, test, feats, label,
+        task_type=args.task, extra_models={"primary": model},
+    ).toPandas()
+
+    # ---- plots ----
+    from tanml_spark import plots as P
+
+    os.makedirs(os.path.join(args.run_dir, "plots"), exist_ok=True)
+
+    def put(name, svg):
+        with open(os.path.join(args.run_dir, "plots", name), "w") as fh:
+            fh.write(svg)
+
+    if args.task == "classification":
+        fpr, tpr = P.roc_plot_data(score(test))
+        put("roc_test.svg", P.svg_line_chart(
+            {"ROC": (fpr, tpr)},
+            f"ROC curve (test, AUC {m_test['roc_auc']:.3f})",
+            "false positive rate", "true positive rate", diagonal=True))
+    else:
+        edges, counts = P.residual_hist_data(score(test))
+        put("residuals_test.svg", P.svg_histogram(
+            edges, counts, "Residual distribution (test)", "residual"))
+    ecdfs = P.ecdf_plot_data_many(train, test, feats[:3])
+    for c, series in ecdfs.items():
+        if series:
+            put(f"ecdf_{c}.svg", P.svg_line_chart(
+                series, f"ECDF: {c} (train vs test)", c,
+                "cumulative fraction"))
+
+    shap_summary_rows = None
+    if predict_fn is not None:
+        from tanml_spark.checks.explainability import (background_sample,
+                                                       shap_values)
+        from tanml_spark.checks.explainability import shap_summary as shap_sum
+
+        bg = background_sample(train, feats)
+        sv = shap_values(test, feats, predict_fn, bg, test_n=100)
+        put("shap_beeswarm.svg", P.svg_beeswarm(
+            P.shap_beeswarm_data(sv), "SHAP attributions (test sample)"))
+        shap_summary_rows = shap_sum(sv).toPandas().to_dict("records")
+
+    # ---- narratives + report ----
+    from tanml_spark.narratives import (story_drift, story_features,
+                                        story_overfitting,
+                                        story_performance, story_shap,
+                                        story_stress)
+    from tanml_spark.report import _HTML_STYLE, _inline_md  # shared chrome
+
+    findings = [
+        story_performance(m_test, args.task),
+        story_overfitting(m_train, m_test),
+        story_features(imp),
+        story_drift(drift_rows),
+        story_stress(stress_rows),
+    ]
+    if shap_summary_rows:
+        findings.append(story_shap(shap_summary_rows))
+
+    metrics_doc = {
+        "task": args.task,
+        "model": args.model_pickle or f"pyspark.ml.{args.algo}",
+        "train_metrics": m_train,
+        "test_metrics": m_test,
+        "stress": stress_rows,
+        "importance": imp.to_dict("records"),
+        "drift": [
+            {k: v for k, v in r.items()} for r in drift_rows
+        ],
+        "benchmark": bench.to_dict("records"),
+        "shap_summary": shap_summary_rows,
+        "findings": findings,
+    }
+    os.makedirs(args.run_dir, exist_ok=True)
+    with open(os.path.join(args.run_dir, "metrics.json"), "w") as fh:
+        json.dump(metrics_doc, fh, indent=2, default=str)
+
+    md = ["# Model validation report", "",
+          f"model: `{metrics_doc['model']}`  task: {args.task}", "",
+          "## Findings", ""]
+    md += [f"- {s}" for s in findings]
+    md += ["", "## Test metrics", "", "| metric | value |", "|---|---|"]
+    md += [f"| {k} | {round(v, 6)} |" for k, v in sorted(m_test.items())]
+    md_text = "\n".join(md) + "\n"
+    with open(os.path.join(args.run_dir, "report.md"), "w") as fh:
+        fh.write(md_text)
+
+    # html: markdown body + embedded figures (same chrome as report.py)
+    body = []
+    for line in md_text.splitlines():
+        s = line.strip()
+        if s.startswith("| metric") or set(s) <= {"|", "-", " "}:
+            continue
+        if s.startswith("| "):
+            cells = [c.strip() for c in s.strip("|").split("|")]
+            body.append("<tr>" + "".join(
+                f"<td>{_inline_md(c)}</td>" for c in cells) + "</tr>")
+        elif s.startswith("## "):
+            body.append(f"<h2>{_inline_md(s[3:])}</h2>")
+        elif s.startswith("# "):
+            body.append(f"<h1>{_inline_md(s[2:])}</h1>")
+        elif s.startswith("- "):
+            body.append(f"<li>{_inline_md(s[2:])}</li>")
+        elif s:
+            body.append(f"<p>{_inline_md(s)}</p>")
+    body.append("<h2>Diagnostics</h2>")
+    pdir = os.path.join(args.run_dir, "plots")
+    for f in sorted(os.listdir(pdir)):
+        if f.endswith(".svg"):
+            with open(os.path.join(pdir, f)) as fh:
+                body.append(f"<figure>{fh.read()}"
+                            f"<figcaption>{f[:-4]}</figcaption></figure>")
+    with open(os.path.join(args.run_dir, "report.html"), "w") as fh:
+        fh.write("<!DOCTYPE html><html><head><meta charset='utf-8'>"
+                 f"<title>Model validation</title><style>{_HTML_STYLE}"
+                 "</style></head><body>"
+                 + "\n".join(body) + "</body></html>\n")
+
+    print(json.dumps({
+        "run_dir": args.run_dir,
+        "model": metrics_doc["model"],
+        "test_metrics": {k: round(v, 6) for k, v in m_test.items()},
+        "n_findings": len(findings),
+        "plots": sorted(os.listdir(pdir)),
+        "report": os.path.join(args.run_dir, "report.html"),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

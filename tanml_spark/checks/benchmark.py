@@ -70,21 +70,26 @@ def benchmark_models(
     from pyspark.ml.functions import vector_to_array
 
     va = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    te_raw = test.select(*feature_cols, label_col).na.drop().cache()
     tr = va.transform(train.select(*feature_cols, label_col).na.drop()).cache()
-    te = va.transform(test.select(*feature_cols, label_col).na.drop()).cache()
+    te = va.transform(te_raw).cache()
     tr.count()
 
+    # extra (pre-fit) models score the RAW columns — a Pipeline that
+    # assembles its own `features` vector (or a PredictFnModel over raw
+    # columns) would collide with the baselines' pre-assembled frame
     scorers = [
-        (name, lambda est=est: est.fit(tr))
+        (name, lambda est=est: est.fit(tr), te)
         for name, est in _baselines(task_type, label_col,
                                     baseline_specs).items()
     ] + [
-        (name, lambda m=m: m) for name, m in (extra_models or {}).items()
+        (name, lambda m=m: m, te_raw)
+        for name, m in (extra_models or {}).items()
     ]
     rows = []
-    for name, get_model in scorers:
+    for name, get_model, frame in scorers:
         model = get_model()
-        scored = model.transform(te)
+        scored = model.transform(frame)
         if task_type == "classification":
             sel = scored.select(
                 F.col(label_col).alias("label"),
@@ -98,7 +103,7 @@ def benchmark_models(
             sel = scored.select(F.col(label_col).alias("label"), "prediction")
             m = regression_metrics(sel)
             rows.append((name, m["rmse"], m["mae"], m["median_ae"], m["r2"]))
-    tr.unpersist(); te.unpersist()
+    tr.unpersist(); te.unpersist(); te_raw.unpersist()
     spark = train.sparkSession
     if task_type == "classification":
         schema = ("model string, accuracy double, precision double, recall double, "

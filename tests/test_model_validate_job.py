@@ -1,0 +1,114 @@
+"""End-to-end model-validation job (jobs/model_validate.py) — the
+reference's core flow (load train/test -> model -> check battery ->
+formatted report, tanml/ui/views/evaluation/main.py:325-381) driven
+through the real CLI in a subprocess."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JOB = os.path.join(REPO, "jobs", "model_validate.py")
+
+
+@pytest.fixture(scope="module")
+def credit_parquet(spark, tmp_path_factory):
+    from tanml_spark.sources.credit_demo import gen_credit_demo
+
+    d = tmp_path_factory.mktemp("mvjob")
+    tr, te = gen_credit_demo(spark)
+    tr.write.mode("overwrite").parquet(str(d / "train"))
+    te.write.mode("overwrite").parquet(str(d / "test"))
+    return d
+
+
+def _run(args, extra_env=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if extra_env:
+        env.update(extra_env)
+    out = subprocess.run(
+        [sys.executable, JOB] + args, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+FEATS = "income,credit_score,age,loan_amount,debt_to_income"
+
+
+def test_classification_run_produces_full_report(credit_parquet):
+    run_dir = str(credit_parquet / "run_cls")
+    res = _run([
+        "--train", str(credit_parquet / "train"),
+        "--test", str(credit_parquet / "test"),
+        "--label", "target", "--features", FEATS,
+        "--task", "classification", "--algo", "LogisticRegression",
+        "--run-dir", run_dir, "--cores", "4", "--stress-features", "2",
+    ])
+    assert 0.5 < res["test_metrics"]["roc_auc"] < 1.0
+    assert "roc_test.svg" in res["plots"]
+    assert "shap_beeswarm.svg" in res["plots"]  # linear model -> SHAP-able
+    m = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert len(m["stress"]) == 4  # 2 features x (+/-)
+    assert {r["model"] for r in m["benchmark"]} >= {"primary",
+                                                    "logistic_regression"}
+    assert len(m["findings"]) == 6
+    assert any("ROC AUC" in f for f in m["findings"])
+    html = open(os.path.join(run_dir, "report.html")).read()
+    assert html.count("<svg") == len(res["plots"])
+    assert "<h2>Findings</h2>" in html
+
+
+def test_pickled_model_path(credit_parquet):
+    """The bring-your-own-model flow: a pickled sklearn-style object
+    (worker-importable class) runs the same battery un-refit."""
+    helper_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, helper_dir)
+    from interop_helpers import SkStyleLogReg
+
+    mdl = SkStyleLogReg([1e-5, 4e-3, 0.01, -2e-5, -2.0], 0.5)
+    pkl = str(credit_parquet / "model.pkl")
+    with open(pkl, "wb") as fh:
+        pickle.dump(mdl, fh)
+    run_dir = str(credit_parquet / "run_pickle")
+    res = _run(
+        [
+            "--train", str(credit_parquet / "train"),
+            "--test", str(credit_parquet / "test"),
+            "--label", "target", "--features", FEATS,
+            "--model-pickle", pkl,
+            "--run-dir", run_dir, "--cores", "4", "--stress-features", "1",
+        ],
+        # the pickled class must be importable inside Spark's Python
+        # workers — same requirement as any sklearn install
+        extra_env={"PYTHONPATH": helper_dir + os.pathsep + REPO},
+    )
+    assert res["model"].endswith("model.pkl")
+    assert "shap_beeswarm.svg" in res["plots"]  # numpy_predict_fn path
+    m = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert len(m["findings"]) == 6
+    assert 0.0 <= m["test_metrics"]["roc_auc"] <= 1.0
+
+
+def test_regression_run(credit_parquet):
+    """Regression task: residual histogram instead of ROC, regression
+    battery + narrative."""
+    run_dir = str(credit_parquet / "run_reg")
+    res = _run([
+        "--train", str(credit_parquet / "train"),
+        "--test", str(credit_parquet / "test"),
+        "--label", "credit_score",
+        "--features", "income,age,loan_amount,debt_to_income",
+        "--task", "regression", "--algo", "LinearRegression",
+        "--run-dir", run_dir, "--cores", "4", "--stress-features", "1",
+    ])
+    assert "residuals_test.svg" in res["plots"]
+    assert "rmse" in res["test_metrics"] and "r2" in res["test_metrics"]
+    m = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert any("variance" in f for f in m["findings"])

@@ -165,3 +165,38 @@ def test_partitioned_cumsum_property(spark, rows, nb):
     pdf = pdf.reset_index(drop=True)
     assert (got["__cum_c"].to_numpy() == pdf["cum"].to_numpy()).all()
     assert (got["__tot_c"].to_numpy() == pdf["tot"].to_numpy()).all()
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+def test_repetition_stats_property(spark, docs):
+    """repetition_stats == python Counter model for ANY token lists:
+    counts exact, fractions in [0,1], dup_frac=0 iff all bigrams
+    unique, short docs yield NULLs."""
+    from collections import Counter
+
+    from tanml_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_stats(df, "text", "doc_id", n=2).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        r = got[i]
+        if len(grams) == 0:
+            assert r["n_grams"] is None and r["dup_gram_frac"] is None
+            continue
+        c = Counter(grams)
+        assert r["n_grams"] == len(grams)
+        assert r["distinct_grams"] == len(c)
+        assert abs(r["dup_gram_frac"] - (1 - len(c) / len(grams))) < 1e-9
+        assert abs(r["top_gram_frac"] - max(c.values()) / len(grams)) < 1e-9
+        assert 0.0 <= r["dup_gram_frac"] <= 1.0
+        assert (r["dup_gram_frac"] == 0.0) == (len(c) == len(grams))

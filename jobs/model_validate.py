@@ -105,13 +105,13 @@ def main() -> int:
         return out.select(F.col(label).alias("label"), "prediction")
 
     from tanml_spark.checks.metrics import (classification_metrics,
-                                            regression_metrics, roc_auc)
+                                            regression_metrics)
 
     if args.task == "classification":
+        # classification_metrics(score_col=...) already includes
+        # roc_auc in its fused battery — no second AUC pass
         m_train = classification_metrics(score(train), score_col="score")
         m_test = classification_metrics(score(test), score_col="score")
-        m_train["roc_auc"] = roc_auc(score(train), "label", "score")
-        m_test["roc_auc"] = roc_auc(score(test), "label", "score")
     else:
         m_train = regression_metrics(score(train))
         m_test = regression_metrics(score(test))
@@ -180,7 +180,7 @@ def main() -> int:
                                         story_overfitting,
                                         story_performance, story_shap,
                                         story_stress)
-    from tanml_spark.report import _HTML_STYLE, _inline_md  # shared chrome
+    from tanml_spark.report import _HTML_STYLE, md_body_html  # shared chrome
 
     findings = [
         story_performance(m_test, args.task),
@@ -199,9 +199,7 @@ def main() -> int:
         "test_metrics": m_test,
         "stress": stress_rows,
         "importance": imp.to_dict("records"),
-        "drift": [
-            {k: v for k, v in r.items()} for r in drift_rows
-        ],
+        "drift": drift_rows,
         "benchmark": bench.to_dict("records"),
         "shap_summary": shap_summary_rows,
         "findings": findings,
@@ -220,24 +218,9 @@ def main() -> int:
     with open(os.path.join(args.run_dir, "report.md"), "w") as fh:
         fh.write(md_text)
 
-    # html: markdown body + embedded figures (same chrome as report.py)
-    body = []
-    for line in md_text.splitlines():
-        s = line.strip()
-        if s.startswith("| metric") or set(s) <= {"|", "-", " "}:
-            continue
-        if s.startswith("| "):
-            cells = [c.strip() for c in s.strip("|").split("|")]
-            body.append("<tr>" + "".join(
-                f"<td>{_inline_md(c)}</td>" for c in cells) + "</tr>")
-        elif s.startswith("## "):
-            body.append(f"<h2>{_inline_md(s[3:])}</h2>")
-        elif s.startswith("# "):
-            body.append(f"<h1>{_inline_md(s[2:])}</h1>")
-        elif s.startswith("- "):
-            body.append(f"<li>{_inline_md(s[2:])}</li>")
-        elif s:
-            body.append(f"<p>{_inline_md(s)}</p>")
+    # html: markdown body (shared converter — tables properly wrapped)
+    # + embedded figures
+    body = md_body_html(md_text)
     body.append("<h2>Diagnostics</h2>")
     pdir = os.path.join(args.run_dir, "plots")
     for f in sorted(os.listdir(pdir)):

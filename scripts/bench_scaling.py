@@ -32,14 +32,19 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--from-json", default=None,
                     help="render BENCH/BASELINE.md from an existing "
-                         "bench.py JSON line instead of re-running "
-                         "(the file must have been produced with the "
-                         "same --rows/--reps configuration)")
+                         "bench.py JSON line instead of re-running; "
+                         "row count / reps / sf are read from the "
+                         "JSON itself")
     args = ap.parse_args()
 
     if args.from_json:
         with open(args.from_json) as f:
             r = json.loads(f.read().strip().splitlines()[-1])
+        # label the render from the JSON's own fields, never the CLI
+        # defaults — a 4M-row file must not be captioned as 16M
+        args.rows = int(r["n_files"])
+        args.reps = int(r.get("reps", args.reps))
+        args.sf_dir = f"/root/testdata/sf{r['sf']}"
     else:
         env = dict(os.environ)
         env.update({
@@ -78,6 +83,15 @@ def main() -> None:
             )
     else:
         pick_line = "fixed via $TANML_BENCH_SCALING_LOW."
+
+    # archived evidence notes (BENCH/NOTES*.md) survive re-renders
+    notes = ""
+    notes_dir = os.path.join(REPO, "BENCH")
+    if os.path.isdir(notes_dir):
+        for nf in sorted(os.listdir(notes_dir)):
+            if nf.startswith("NOTES") and nf.endswith(".md"):
+                with open(os.path.join(notes_dir, nf)) as fh:
+                    notes += "\n" + fh.read()
 
     md = f"""# BENCH — measured performance
 
@@ -129,7 +143,7 @@ Per-query timings at {args.sf_dir} (local[{r['cpus']}]):
 ```json
 {json.dumps(r['queries'], indent=2)}
 ```
-"""
+{notes}"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -64,32 +64,45 @@ def benchmark_models(
     scored (not fit) on the test split alongside the baselines — the
     reference's primary-model-vs-baselines table
     (benchmark.py:128-249). Accepts any object with ``.transform``
-    producing prediction/probability, including a
-    models/interop.PredictFnModel-wrapped pickled sklearn model."""
+    producing prediction/probability: a Pipeline or
+    models/interop.PredictFnModel scores the raw feature columns; a
+    bare pyspark.ml model is retried against the assembled
+    ``features`` frame."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
     va = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    te_raw = test.select(*feature_cols, label_col).na.drop().cache()
+    te_raw = test.select(*feature_cols, label_col).na.drop()
+    if extra_models:
+        te_raw = te_raw.cache()  # only the extras score the raw frame
     tr = va.transform(train.select(*feature_cols, label_col).na.drop()).cache()
     te = va.transform(te_raw).cache()
     tr.count()
 
-    # extra (pre-fit) models score the RAW columns — a Pipeline that
-    # assembles its own `features` vector (or a PredictFnModel over raw
-    # columns) would collide with the baselines' pre-assembled frame
+    # extra (pre-fit) models get the RAW columns first — a Pipeline
+    # that assembles its own `features` vector (or a PredictFnModel
+    # over raw columns) collides with the pre-assembled baseline frame
+    # — and fall back to the assembled frame for bare pyspark.ml
+    # models that expect an existing `features` column.
     scorers = [
-        (name, lambda est=est: est.fit(tr), te)
+        (name, lambda est=est: est.fit(tr), (te,))
         for name, est in _baselines(task_type, label_col,
                                     baseline_specs).items()
     ] + [
-        (name, lambda m=m: m, te_raw)
+        (name, lambda m=m: m, (te_raw, te))
         for name, m in (extra_models or {}).items()
     ]
     rows = []
-    for name, get_model, frame in scorers:
+    for name, get_model, frames in scorers:
         model = get_model()
-        scored = model.transform(frame)
+        scored = None
+        for i, frame in enumerate(frames):
+            try:
+                scored = model.transform(frame)
+                break
+            except Exception:
+                if i == len(frames) - 1:
+                    raise
         if task_type == "classification":
             sel = scored.select(
                 F.col(label_col).alias("label"),
@@ -103,7 +116,9 @@ def benchmark_models(
             sel = scored.select(F.col(label_col).alias("label"), "prediction")
             m = regression_metrics(sel)
             rows.append((name, m["rmse"], m["mae"], m["median_ae"], m["r2"]))
-    tr.unpersist(); te.unpersist(); te_raw.unpersist()
+    tr.unpersist(); te.unpersist()
+    if extra_models:
+        te_raw.unpersist()
     spark = train.sparkSession
     if task_type == "classification":
         schema = ("model string, accuracy double, precision double, recall double, "

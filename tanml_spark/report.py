@@ -129,18 +129,11 @@ def _inline_md(text: str) -> str:
     return out
 
 
-def render_html(summary: dict, plots: dict[str, str] | None = None) -> str:
-    """Self-contained single-file HTML from the same summary the
-    markdown renderer consumes — the engine's analog of the reference's
-    formatted document artifact (tanml/ui/reports/generators.py DOCX
-    assembly; r03 VERDICT next-step #9). No dependencies: the report's
-    markdown dialect is headers, one table, bold, lists and code, so
-    the converter is ~30 lines of stdlib.
-
-    ``plots``: {name: svg} diagnostic figures (tanml_spark/plots.py)
-    embedded inline under a Diagnostics section — write_report collects
-    them from the run dir's ``plots/*.svg``."""
-    md = render_markdown(summary)
+def md_body_html(md: str) -> list[str]:
+    """HTML fragments from the report markdown dialect (headers,
+    tables, bold/code, lists) — tables properly wrapped in
+    <table><thead>/<tbody>. Shared by render_html and
+    jobs/model_validate.py."""
     body: list[str] = []
     table: list[str] = []
 
@@ -177,6 +170,22 @@ def render_html(summary: dict, plots: dict[str, str] | None = None) -> str:
         elif s:
             body.append(f"<p>{_inline_md(s)}</p>")
     flush_table()
+    return body
+
+
+def render_html(summary: dict, plots: dict[str, str] | None = None) -> str:
+    """Self-contained single-file HTML from the same summary the
+    markdown renderer consumes — the engine's analog of the reference's
+    formatted document artifact (tanml/ui/reports/generators.py DOCX
+    assembly; r03 VERDICT next-step #9). No dependencies: the report's
+    markdown dialect is headers, one table, bold, lists and code, so
+    the converter is ~30 lines of stdlib.
+
+    ``plots``: {name: svg} diagnostic figures (tanml_spark/plots.py)
+    embedded inline under a Diagnostics section — write_report collects
+    them from the run dir's ``plots/*.svg``."""
+    md = render_markdown(summary)
+    body = md_body_html(md)
     if plots:
         body.append("<h2>Diagnostics</h2>")
         for name in sorted(plots):

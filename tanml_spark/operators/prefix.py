@@ -50,6 +50,7 @@ def partitioned_cumsum(
     n_buckets: int | None = None,
     value_expr: Column | None = None,
     cutpoints: list[float] | dict | None = None,
+    tot_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive ascending prefix sums + group totals, range-partitioned.
 
@@ -65,6 +66,16 @@ def partitioned_cumsum(
     Returns ``cond`` plus, for every c in sum_cols:
     ``__cum_<c>`` — inclusive prefix sum in (order_cols asc_nulls_first)
     order within the group; ``__tot_<c>`` — the group total.
+
+    ``tot_cols``: extra columns that get ONLY a ``__tot_<c>`` group
+    total (no prefix sum). They ride the same bucket-totals aggregation
+    and bucket-count window, so callers that need side aggregates of
+    the condensed table (e.g. the cv battery's confusion cells) get
+    them without a second consumer of ``cond`` — a second consumer
+    would be column-pruned into a *different* aggregate and defeat
+    exchange reuse, re-scanning the raw input. NULL semantics match a
+    direct group-wide F.sum: partial sums skip NULLs, and the total is
+    NULL only when every bucket's partial is NULL.
 
     ``cutpoints``: optional precomputed bucket boundaries — a flat
     ascending list applied to every group, or {group_key: list} (key =
@@ -139,7 +150,7 @@ def partitioned_cumsum(
         d = d.withColumn("__bkt", F.lit(0))
     d = d.drop("__v")
 
-    tcols = {c: f"__t_{c}" for c in sum_cols}
+    tcols = {c: f"__t_{c}" for c in [*sum_cols, *(tot_cols or [])]}
     btot = d.groupBy(*gcols, "__bkt").agg(
         *[F.sum(c).alias(t) for c, t in tcols.items()]
     )
@@ -154,8 +165,8 @@ def partitioned_cumsum(
         *gcols,
         "__bkt",
         *[
-            F.coalesce(F.sum(t).over(wb), F.lit(0)).alias(f"__off_{c}")
-            for c, t in tcols.items()
+            F.coalesce(F.sum(f"__t_{c}").over(wb), F.lit(0)).alias(f"__off_{c}")
+            for c in sum_cols
         ],
         *[F.sum(t).over(wt).alias(f"__tot_{c}") for c, t in tcols.items()],
     )

@@ -269,3 +269,41 @@ def test_cluster_coverage(spark):
     dist = res["cluster_distribution"]
     assert sum(d["train_count"] for d in dist.values()) == 800
     assert abs(sum(d["test_pct"] for d in dist.values()) - 100.0) < 1e-6
+
+
+def test_cv_battery_driver_vs_distributed_parity(spark):
+    """The r05 fused battery has two execution paths — the limit-probe
+    driver-numpy fast path and the single-scan distributed plan
+    (driver_budget=0). They must agree byte-for-byte, including SQL
+    NULL semantics: NULL scores (kept for confusion, inert in rank
+    metrics), NULL labels (outside every count), a fold whose scores
+    are ALL NULL (confusion present, rank metrics NULL), and NULL
+    predictions (outside the confusion cells)."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    y = rng.integers(0, 2, n).astype(object)
+    s = np.round(np.clip(y.astype(float) * 0.4 + rng.random(n) * 0.6, 0, 1), 2
+                 ).astype(object)
+    p = (s.astype(float) >= 0.5).astype(int).astype(object)
+    fold = rng.integers(0, 5, n)
+    s[fold == 2] = None                      # all-NULL-score fold
+    s[(fold == 1) & (np.arange(n) % 7 == 0)] = None
+    y[(fold == 3) & (np.arange(n) % 5 == 0)] = None
+    p[(fold == 4) & (np.arange(n) % 11 == 0)] = None
+    rows = [(int(f), None if a is None else int(a),
+             None if b is None else int(b),
+             None if c is None else float(c))
+            for f, a, b, c in zip(fold, y, p, s)]
+    df = spark.createDataFrame(
+        rows, "fold int, label int, prediction int, score double")
+    fast = cv_fold_metrics(df, 5, score_col="score", fold_col="fold")
+    dist = cv_fold_metrics(df, 5, score_col="score", fold_col="fold",
+                           driver_budget=0)
+    assert fast.schema == dist.schema
+    frows = sorted(map(tuple, fast.collect()))
+    drows = sorted(map(tuple, dist.collect()))
+    assert frows == drows
+    # the all-NULL-score fold keeps its confusion row, rank metrics NULL
+    by_fold = {r[0]: r for r in fast.collect()}
+    assert by_fold[2]["accuracy"] is not None
+    assert by_fold[2]["roc_auc"] is None and by_fold[2]["ks"] is None

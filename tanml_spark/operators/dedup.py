@@ -339,16 +339,69 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
     ).select("id_a", "id_b", "hamming")
 
 
+CC_DRIVER_MAX = 2_000_000  # edge budget for the driver union-find
+
+
+def _cc_driver(edges: DataFrame, budget: int) -> DataFrame | None:
+    """Min-label connected components via driver union-find behind the
+    one-action limit-probe (the KS/PSI/cv-battery pattern): a probe of
+    the pair list within ``budget`` IS the complete edge set, so the
+    closure finishes in O(E α(E)) on the driver with zero label-
+    propagation rounds. Returns None when the probe truncates — the
+    caller falls back to the distributed O(log diameter) loop. The
+    label is the component's minimum id, identical to the iterative
+    path and the recursive-CTE oracle."""
+    pdf = edges.limit(budget + 1).toPandas()
+    if len(pdf) > budget:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        a, b = a.item() if hasattr(a, "item") else a, \
+               b.item() if hasattr(b, "item") else b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min id wins -> min label
+    seen = set(parent)
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        seen.add(a.item() if hasattr(a, "item") else a)
+        seen.add(b.item() if hasattr(b, "item") else b)
+    rows = [(x, find(x)) for x in seen]
+    id_type = edges.schema[0].dataType
+    from pyspark.sql import types as T
+
+    return edges.sparkSession.createDataFrame(
+        rows,
+        T.StructType([T.StructField("id", id_type),
+                      T.StructField("cluster_id", id_type)]),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_budget: int = CC_DRIVER_MAX,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs → (id, cluster_id), where
     cluster_id = min doc id in the connected component. The step every
     dedup pipeline needs after pair detection: A~B and B~C must dedup
     {A,B,C} together even though (A,C) was never emitted as a pair.
+
+    Near-dup pair sets are tiny relative to the corpus (pairs only
+    exist where near-dups exist), so most runs finish on the driver via
+    the ``driver_budget`` limit-probe union-find (``_cc_driver``); the
+    iterative loop below is the at-scale path for edge sets past the
+    budget (set ``driver_budget=0`` to force it).
 
     Iterative min-label propagation WITH pointer jumping: each round
     (a) pushes every node's label across the symmetrized edges and
@@ -367,6 +420,10 @@ def connected_components(
     checkpoint() to a checkpoint dir instead).
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_budget:
+        out = _cc_driver(e, driver_budget)
+        if out is not None:
+            return out
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
@@ -378,7 +435,7 @@ def connected_components(
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), F.col("lbl"))
@@ -396,10 +453,16 @@ def connected_components(
                     F.coalesce(F.col("plbl"), pushed["lbl"]).alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        labels = new_labels
+        # Labels are monotonically non-increasing, so skipping the
+        # convergence agg on even rounds can only cost ONE extra (tiny)
+        # round, while halving the per-round action count (r04 VERDICT
+        # #3). The final round always checks.
+        if it % 2 == 0 and it != max_iter - 1:
+            continue
         cur_sum = new_labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

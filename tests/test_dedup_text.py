@@ -187,6 +187,11 @@ def test_connected_components_matches_union_find(spark):
     got2 = {r["id"]: r["cluster_id"]
             for r in connected_components(pairs.repartition(7)).collect()}
     assert got2 == expected
+    # distributed label-propagation path (driver_budget=0) must agree
+    # with the driver union-find fast path
+    got3 = {r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, driver_budget=0).collect()}
+    assert got3 == expected
 
 
 def test_repetition_stats_matches_bruteforce(spark):

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tanml_spark.entry_queries import all_oracles, all_queries  # noqa: E402
 from tanml_spark.entry_queries2 import all_oracles2, all_queries2  # noqa: E402
 from tanml_spark.entry_queries3 import all_oracles3, all_queries3  # noqa: E402
+from tanml_spark.entry_queries4 import all_oracles4, all_queries4  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**all_queries(), **all_queries2(), **all_queries3()}
+    return {**all_queries(), **all_queries2(), **all_queries3(), **all_queries4()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**all_oracles(), **all_oracles2(), **all_oracles3()}
+    return {**all_oracles(), **all_oracles2(), **all_oracles3(), **all_oracles4()}

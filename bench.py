@@ -11,15 +11,19 @@ and best-of-$TANML_BENCH_REPS timing:
    (the north-rule input) at local[$SPARK_GRAFT_CPUS].
 2. NORTH-RULE N→4N scaling: the same suite on the same bytes at
    local[N] and local[4N], with byte-compared verdict hashes across
-   every run and level. N is picked PROGRAMMATICALLY from a pre-run
-   host raw-CPU calibration (largest N whose N→4N pure-CPU ratio is
-   >= 0.9 of ideal on this shared box; $TANML_BENCH_SCALING_LOW
-   overrides, 0 disables). Efficiency is the MEDIAN of
-   $TANML_BENCH_SCALING_REPS (default 3) interleaved N/4N pairs, each
-   preceded by its own calibration snapshot — per-run values are all
-   recorded (r02 VERDICT #4 / ADVICE #1).
+   every run and level. N is picked PROGRAMMATICALLY from host raw-CPU
+   calibration (largest N whose N→4N pure-CPU ratio is >= 0.9 of ideal
+   on this shared box; $TANML_BENCH_SCALING_LOW overrides, 0 disables)
+   — and the bench WAITS for a compliant window in a bounded probe
+   loop ($TANML_BENCH_CAL_PROBES probes, $TANML_BENCH_CAL_WAIT_SEC
+   apart; r04 VERDICT #1) instead of sampling once. Efficiency is the
+   MEDIAN of $TANML_BENCH_SCALING_REPS (default 3) interleaved N/4N
+   pairs, each GATED on its own compliant calibration window (up to
+   $TANML_BENCH_PAIR_PROBES re-probes) — every probe is recorded
+   (r02 VERDICT #4 / ADVICE #1).
 3. Per-query wall time for every driver-contract query at
-   $SPARK_GRAFT_SF_DIR.
+   $SPARK_GRAFT_SF_DIR — min of $TANML_BENCH_QUERY_REPS (default 2)
+   warm runs per query (single-shot numbers drift ±25% on this host).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
@@ -35,9 +39,11 @@ byte-identical across the two levels.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), TANML_BENCH_ROWS (default 4e6),
-     TANML_BENCH_REPS (default 2), TANML_BENCH_SCALING_LOW (default 2;
-     0 disables the scaling pair), TANML_BENCH_SCALING_ROWS
-     (default 2e6).
+     TANML_BENCH_REPS (default 3), TANML_BENCH_QUERY_REPS (default 2),
+     TANML_BENCH_SCALING_LOW (default auto; 0 disables the scaling
+     pair), TANML_BENCH_SCALING_ROWS (default 2e6),
+     TANML_BENCH_CAL_PROBES (default 6), TANML_BENCH_CAL_WAIT_SEC
+     (default 300), TANML_BENCH_PAIR_PROBES (default 3).
 """
 
 from __future__ import annotations
@@ -189,11 +195,39 @@ def host_cpu_calibration(pairs=((2, 8), (8, 32)), n: int = 400_000) -> dict:
     return out
 
 
+CAL_BAR = 0.9  # raw-CPU N→4N ratio (of ideal) the host must deliver
+
+
+def wait_for_compliant_window(
+    probes: int, wait_sec: float, pairs=((2, 8), (8, 32)),
+) -> tuple[int, bool, list[dict]]:
+    """Probe the host raw-CPU calibration in a bounded retry loop (r04
+    VERDICT #1: the bench must FIND a compliant window itself instead
+    of shipping a caveat). Returns (N, rule_satisfied, probe_log) the
+    moment a rung delivers >= CAL_BAR of ideal — preferring the larger
+    rung — or after ``probes`` attempts with the smallest rung and the
+    flag down. Every probe is recorded so the artifact shows the host
+    state over the whole wait."""
+    log: list[dict] = []
+    for i in range(max(1, probes)):
+        cal = host_cpu_calibration(pairs=pairs)
+        log.append(cal)
+        for n, key in ((8, "8->32"), (2, "2->8")):
+            if cal.get(key, 0) >= CAL_BAR:
+                return n, True, log
+        if i < probes - 1:
+            time.sleep(wait_sec)
+    return 2, False, log
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_rows = int(os.environ.get("TANML_BENCH_ROWS", "4000000"))
-    reps = int(os.environ.get("TANML_BENCH_REPS", "2"))
+    reps = int(os.environ.get("TANML_BENCH_REPS", "3"))
+    query_reps = int(os.environ.get("TANML_BENCH_QUERY_REPS", "2"))
+    cal_probes = int(os.environ.get("TANML_BENCH_CAL_PROBES", "6"))
+    cal_wait = float(os.environ.get("TANML_BENCH_CAL_WAIT_SEC", "300"))
     # default "auto": N is chosen from the pre-run host calibration
     scale_low_env = os.environ.get("TANML_BENCH_SCALING_LOW", "auto")
     scale_low = -1 if scale_low_env == "auto" else int(scale_low_env)
@@ -226,20 +260,17 @@ def main() -> None:
     # Pick N for the N→4N pair FROM the measured calibration (r02
     # ADVICE #1: programmatic, not narrative): largest N whose raw-CPU
     # pair the HOST delivers at >=0.9 of ideal — above that the pair
-    # would measure hypervisor contention, not the engine. Env
+    # would measure hypervisor contention, not the engine. The pick now
+    # WAITS for a compliant window in a bounded probe loop (r04 VERDICT
+    # #1) instead of sampling once and shipping a caveat. Env
     # TANML_BENCH_SCALING_LOW > 0 overrides; 0 disables scaling.
     pick_calibration = None
     pick_rule_satisfied = None
+    pick_probes: list[dict] = []
     if scale_low < 0:  # auto (the default; see env parsing above)
-        pick_calibration = host_cpu_calibration()
-        # apply the documented rule to EVERY rung, largest first; if no
-        # rung delivers >=0.9 raw, fall back to the smallest and flag
-        # it so the evidence is not overstated.
-        scale_low, pick_rule_satisfied = 2, False
-        for n, key in ((8, "8->32"), (2, "2->8")):
-            if pick_calibration.get(key, 0) >= 0.9:
-                scale_low, pick_rule_satisfied = n, True
-                break
+        scale_low, pick_rule_satisfied, pick_probes = wait_for_compliant_window(
+            cal_probes, cal_wait)
+        pick_calibration = pick_probes[-1]
 
     # Headline throughput at the full parallelism level.
     suite_sec, n_files, verdict_hash = bench_level(
@@ -247,19 +278,28 @@ def main() -> None:
     timings: dict[str, float] = {"suite": round(suite_sec, 3)}
 
     # North-rule scaling evidence: MEDIAN of `scaling_reps` interleaved
-    # N/4N pairs (r02 VERDICT #4: median, not best), each pair preceded
-    # by its own raw-CPU calibration snapshot so every efficiency value
-    # is paired with the host state it ran under. Each level runs in a
-    # fresh JVM with an untimed warmup; verdict hashes are asserted
-    # byte-identical across ALL runs and levels.
+    # N/4N pairs (r02 VERDICT #4: median, not best). Each pair is GATED
+    # on its own compliant calibration window (bounded re-probe loop —
+    # a pair started into a contended host measures the neighbor's
+    # workload, not the engine); every probe is recorded with the run.
+    # Each level runs in a fresh JVM with an untimed warmup; verdict
+    # hashes are asserted byte-identical across ALL runs and levels.
     scaling = None
     if scale_low:
         hi = 4 * scale_low
         runs = []
         hashes = set()
         scaling_reps = int(os.environ.get("TANML_BENCH_SCALING_REPS", "3"))
+        pair_probes = int(os.environ.get("TANML_BENCH_PAIR_PROBES", "3"))
         for _ in range(scaling_reps):
-            cal = host_cpu_calibration(pairs=((scale_low, hi),), n=200_000)
+            cal_log = []
+            for i in range(max(1, pair_probes)):
+                cal = host_cpu_calibration(pairs=((scale_low, hi),), n=200_000)
+                cal_log.append(cal)
+                if cal.get(f"{scale_low}->{hi}", 0) >= CAL_BAR:
+                    break
+                if i < pair_probes - 1:
+                    time.sleep(cal_wait)
             lo_sec, lo_n, lo_hash = bench_level(
                 scale_low, scale_path, warm_path, repos_path, 1)
             hi_sec, hi_n, hi_hash = bench_level(
@@ -273,6 +313,9 @@ def main() -> None:
                 "suite_sec_low": round(lo_sec, 3),
                 "suite_sec_high": round(hi_sec, 3),
                 "host_cpu_scaling": cal,
+                "cal_probes": cal_log,
+                "cal_window_compliant":
+                    cal.get(f"{scale_low}->{hi}", 0) >= CAL_BAR,
             })
         effs = sorted(r["eff"] for r in runs)
         eff_median = effs[len(effs) // 2]
@@ -291,6 +334,9 @@ def main() -> None:
             "runs": runs,
             "n_picked_by_calibration": pick_calibration,
             "n_pick_rule_satisfied": pick_rule_satisfied,
+            "n_pick_probes": pick_probes,
+            "pair_windows_compliant":
+                [r["cal_window_compliant"] for r in runs],
             "host_cpu_scaling_median_run": mid["host_cpu_scaling"],
             "deterministic": len(hashes) == 1,
         }
@@ -300,12 +346,20 @@ def main() -> None:
     from tanml_spark.entry_queries import all_queries
     from tanml_spark.entry_queries2 import all_queries2
     from tanml_spark.entry_queries3 import all_queries3
+    from tanml_spark.entry_queries4 import all_queries4
 
+    # min-of-query_reps per query: single-shot per-query numbers moved
+    # ±25% between rounds from host noise alone (the r04 kendall_tau
+    # false alarm) — the min of 2+ warm runs is stable.
     for name, q in sorted({**all_queries(), **all_queries2(),
-                           **all_queries3()}.items()):
-        t0 = time.time()
-        q(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+                           **all_queries3(), **all_queries4()}.items()):
+        best = None
+        for _ in range(max(1, query_reps)):
+            t0 = time.time()
+            q(spark, sf_dir).collect()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        timings[name] = round(best, 3)
     spark.stop()
 
     shutil.rmtree(workdir, ignore_errors=True)

@@ -274,17 +274,23 @@ _CV_SCHEMA = (
 )
 
 
-def _round9(x):
-    """Match F.round(col, 9): HALF_UP on the double's shortest decimal
-    representation (java BigDecimal.valueOf ≡ Python repr). np.round /
-    builtin round are banker's — they differ at exact .5 midpoints."""
+def round_half_up(x, dp: int = 9):
+    """Match F.round(col, dp) (and DuckDB round): HALF_UP on the
+    double's shortest decimal representation (java BigDecimal.valueOf ≡
+    Python repr). np.round / builtin round are banker's — they differ
+    at exact .5 midpoints, which would break oracle value-hash
+    equality."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     if x is None or math.isnan(x) or math.isinf(x):
         return None if x is None else float(x)
     return float(Decimal(repr(float(x))).quantize(
-        Decimal("1e-9"), rounding=ROUND_HALF_UP))
+        Decimal(f"1e-{dp}"), rounding=ROUND_HALF_UP))
+
+
+def _round9(x):
+    return round_half_up(x, 9)
 
 
 def _cv_driver_from_condensed(cond: DataFrame, budget: int):

@@ -21,11 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tanml_spark.checks.metrics import (
-    classification_metrics,
-    regression_metrics,
-    roc_auc,
-)
 
 
 def perturb(
@@ -36,11 +31,18 @@ def perturb(
     perturb_fraction: float = 0.2,
     id_col: str = "id",
     seed: int = 42,
+    pick=None,
 ) -> DataFrame:
-    """Scale a deterministic ~fraction subset of `column` by (1±ε)."""
-    pick = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000)) < int(
-        perturb_fraction * 1000
-    )
+    """Scale a deterministic ~fraction subset of `column` by (1±ε).
+
+    ``pick``: optional boolean Column overriding the default
+    xxhash64-mod row selector — e.g. an md5-prefix threshold when the
+    selection must be recomputable outside Spark (the DuckDB oracle
+    gate: md5 is byte-identical across engines, xxhash64 is not)."""
+    if pick is None:
+        pick = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000)) < int(
+            perturb_fraction * 1000
+        )
     factor = 1.0 + sign * epsilon
     return df.withColumn(
         column,
@@ -59,57 +61,101 @@ def stress_test(
     id_col: str = "id",
     score_col: str = "probability",
     pred_col: str = "prediction",
+    pick=None,
 ) -> list[dict]:
     """Per-(feature, ±ε) metric deltas vs baseline; rounded to 4 dp
-    like the reference (stress_test.py:155-178)."""
+    like the reference (stress_test.py:155-178).
+
+    Execution (r05): ALL variants — baseline + each (feature, sign) —
+    are scored lazily and stacked with a variant id, then the whole
+    battery runs as ONE metric pass keyed by variant (the fused cv
+    battery with fold=variant for classification, a single grouped agg
+    for regression). 2F+1 separate metric actions collapse to one; the
+    per-variant arithmetic is unchanged (same fused confusion cells,
+    same condensed tie-averaged rank AUC)."""
+    from functools import reduce
+
+    from tanml_spark.checks.metrics import cv_fold_metrics, round_half_up
+
     df = df.cache()
 
-    def score(frame: DataFrame) -> DataFrame:
+    def score(frame: DataFrame, vid: int) -> DataFrame:
         out = model.transform(frame)
         if task_type == "classification":
             # probability of class 1 from the ml vector column
             from pyspark.ml.functions import vector_to_array
 
             return out.select(
+                F.lit(vid).alias("__variant"),
                 F.col(label_col).alias("label"),
                 F.col(pred_col).alias("prediction"),
                 vector_to_array(F.col(score_col)).getItem(1).alias("score"),
             )
-        return out.select(F.col(label_col).alias("label"),
+        return out.select(F.lit(vid).alias("__variant"),
+                          F.col(label_col).alias("label"),
                           F.col(pred_col).alias("prediction"))
 
+    variants: list[tuple[str, int] | None] = [None] + [
+        (c, sign) for c in feature_cols for sign in (+1, -1)
+    ]
+    frames = []
+    for vid, v in enumerate(variants):
+        frame = df if v is None else perturb(
+            df, v[0], epsilon, v[1], perturb_fraction, id_col, pick=pick)
+        frames.append(score(frame, vid))
+    stacked = reduce(lambda a, b: a.unionByName(b), frames)
+
+    nan = float("nan")
     if task_type == "classification":
-        base_scored = score(df)
-        acc_base = classification_metrics(base_scored)["accuracy"]
-        auc_base = roc_auc(base_scored, "label", "score")
+        fm = cv_fold_metrics(
+            stacked, n_folds=len(variants), label_col="label",
+            pred_col="prediction", score_col="score", fold_col="__variant",
+        )
+        by_vid = {r["fold"]: r for r in fm.collect()}
+        metric = {
+            vid: (r["accuracy"], nan if r["roc_auc"] is None else r["roc_auc"])
+            for vid, r in by_vid.items()
+        }
+        acc_base, auc_base = metric[0]
     else:
-        base = regression_metrics(score(df))
-        rmse_base, r2_base = base["rmse"], base["r2"]
+        err = F.col("prediction") - F.col("label")
+        agg = stacked.groupBy("__variant").agg(
+            F.round(F.sqrt(F.avg(F.pow(err, 2))), 9).alias("rmse"),
+            F.sum(F.pow(err, 2)).alias("sse"),
+            (F.var_pop("label") * F.count("label")).alias("sst"),
+        ).collect()
+        metric = {
+            r["__variant"]: (
+                r["rmse"],
+                round(1.0 - r["sse"] / r["sst"], 9) if r["sst"] else nan,
+            )
+            for r in agg
+        }
+        rmse_base, r2_base = metric[0]
 
     results = []
-    for col in feature_cols:
-        for sign in (+1, -1):
-            lab = f"{'+' if sign > 0 else '-'}{round(epsilon * 100, 2)}%"
-            pdf = perturb(df, col, epsilon, sign, perturb_fraction, id_col)
-            scored = score(pdf)
-            if task_type == "classification":
-                m = classification_metrics(scored)
-                auc = roc_auc(scored, "label", "score")
-                results.append({
-                    "feature": col, "perturbation": lab,
-                    "accuracy": round(m["accuracy"], 4),
-                    "auc": round(auc, 4),
-                    "delta_accuracy": round(m["accuracy"] - acc_base, 4),
-                    "delta_auc": round(auc - auc_base, 4),
-                })
-            else:
-                m = regression_metrics(scored)
-                results.append({
-                    "feature": col, "perturbation": lab,
-                    "rmse": round(m["rmse"], 4),
-                    "r2": round(m["r2"], 4),
-                    "delta_rmse": round(m["rmse"] - rmse_base, 4),
-                    "delta_r2": round(m["r2"] - r2_base, 4),
-                })
+    for vid, v in enumerate(variants):
+        if v is None:
+            continue
+        col, sign = v
+        lab = f"{'+' if sign > 0 else '-'}{round(epsilon * 100, 2)}%"
+        if task_type == "classification":
+            acc, auc = metric[vid]
+            results.append({
+                "feature": col, "perturbation": lab,
+                "accuracy": round_half_up(acc, 4),
+                "auc": round_half_up(auc, 4),
+                "delta_accuracy": round_half_up(acc - acc_base, 4),
+                "delta_auc": round_half_up(auc - auc_base, 4),
+            })
+        else:
+            rmse, r2 = metric[vid]
+            results.append({
+                "feature": col, "perturbation": lab,
+                "rmse": round_half_up(rmse, 4),
+                "r2": round_half_up(r2, 4),
+                "delta_rmse": round_half_up(rmse - rmse_base, 4),
+                "delta_r2": round_half_up(r2 - r2_base, 4),
+            })
     df.unpersist()
     return results

@@ -1,0 +1,149 @@
+"""Driver-contract queries, part 4 (round 5): model-dependent
+batteries under the oracle gate.
+
+The stress battery (checks/stress.py — the reference's perturbation
+stress test, tanml/checks/stress_test.py:75-206) was previously
+pytest-only because a FITTED model's coefficients are not ANSI-SQL
+recomputable. Threading a closed-form sigmoid "model"
+(models/closed_form.py) with literal weights through the real battery
+puts the perturbation deltas — deterministic row pick, (1±ε) scaling,
+re-score, accuracy/AUC deltas vs baseline — under the driver's DuckDB
+value-hash gate: both engines score the identical function, so every
+delta is exact oracle arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_T = "{sf_dir}/{name}.parquet"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_T.format(sf_dir=sf_dir, name=name))
+
+
+# Fixed literal model: probability = round(sigmoid(-1.2 + 0.08·x1
+# − 0.35·x2), 3). 3dp rounding forces score ties (tie-averaged ranks
+# exercised) and absorbs cross-engine libm noise, exactly like the
+# cv_metrics prediction table.
+_W1, _W2, _BIAS = 0.08, -0.35, -1.2
+_EPS = 0.05  # ±5% perturbation — large enough for nonzero 4dp deltas
+
+
+def q_stress_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stress battery (stacked-variant single pass) over a
+    closed-form model on lineitem: x1 = quantity, x2 = discount·100,
+    y = extendedprice > 30000. The row pick is an md5-prefix threshold
+    (portable across engines; ~20% of rows) instead of the default
+    xxhash64 — same semantics, oracle-recomputable."""
+    from tanml_spark.checks.stress import stress_test
+    from tanml_spark.models.closed_form import ClosedFormSigmoidModel
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+        .alias("id"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        (F.col("l_discount").cast("double") * 100).alias("x2"),
+        (F.col("l_quantity") > 25).cast("int").alias("y"),
+    )
+    model = ClosedFormSigmoidModel({"x1": _W1, "x2": _W2}, bias=_BIAS,
+                                   round_dp=3)
+    pick = F.substring(F.md5(F.col("id").cast("string")), 1, 8) < "33333333"
+    rows = stress_test(
+        model, df, ["x1", "x2"], label_col="y", task_type="classification",
+        epsilon=_EPS, perturb_fraction=0.2, id_col="id", pick=pick,
+    )
+    return spark.createDataFrame(
+        [(r["feature"], r["perturbation"], r["accuracy"], r["auc"],
+          r["delta_accuracy"], r["delta_auc"]) for r in rows],
+        "feature string, perturbation string, accuracy double, auc double, "
+        "delta_accuracy double, delta_auc double",
+    )
+
+
+SQL_STRESS_DELTAS = """
+WITH base AS (
+  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS id,
+         l_quantity::DOUBLE AS x1,
+         l_discount::DOUBLE * 100 AS x2,
+         CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), picked AS (
+  SELECT *, substr(md5(id::VARCHAR), 1, 8) < '33333333' AS pk FROM base
+), variants(feature, sgn) AS (
+  SELECT * FROM (VALUES ('__base__', 0.0), ('x1', 1.0), ('x1', -1.0),
+                        ('x2', 1.0), ('x2', -1.0)) v(feature, sgn)
+), pert AS (
+  -- (1.0 + 0.05 * sgn) is bit-identical to the engine's
+  -- factor = 1.0 + sign * epsilon (same IEEE ops, same literals)
+  SELECT v.feature, v.sgn, p.y,
+    CASE WHEN v.feature = 'x1' AND p.pk
+         THEN p.x1 * (1.0 + 0.05 * v.sgn) ELSE p.x1 END AS x1,
+    CASE WHEN v.feature = 'x2' AND p.pk
+         THEN p.x2 * (1.0 + 0.05 * v.sgn) ELSE p.x2 END AS x2
+  FROM picked p CROSS JOIN variants v
+), scored AS (
+  SELECT feature, sgn, y,
+    round(1.0 / (1.0 + exp(-((-1.2) + 0.08 * x1 + (-0.35) * x2))), 3) AS s
+  FROM pert
+), wp AS (
+  SELECT feature, sgn, y, s,
+         CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM scored
+), acc AS (
+  SELECT feature, sgn,
+         avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) AS accuracy
+  FROM wp GROUP BY feature, sgn
+), cond AS (
+  SELECT feature, sgn, s,
+         sum(y)::DOUBLE AS n_pos, sum(1 - y)::DOUBLE AS n_neg
+  FROM wp GROUP BY feature, sgn, s
+), cum AS (
+  SELECT feature, sgn, s, n_pos, n_neg,
+    sum(n_pos + n_neg) OVER w AS cum_le,
+    sum(n_pos) OVER (PARTITION BY feature, sgn) AS P,
+    sum(n_neg) OVER (PARTITION BY feature, sgn) AS N
+  FROM cond
+  WINDOW w AS (PARTITION BY feature, sgn ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), auc AS (
+  SELECT feature, sgn,
+    (sum(n_pos * (cum_le - (n_pos + n_neg) + (n_pos + n_neg + 1) / 2.0))
+       - any_value(P) * (any_value(P) + 1) / 2.0)
+      / (any_value(P) * any_value(N)) AS auc
+  FROM cum GROUP BY feature, sgn
+), m AS (
+  -- the engine's battery rounds each per-variant metric to 9 dp
+  -- BEFORE the 4 dp delta rounding — mirror that, or deltas sitting
+  -- on a 4 dp midpoint flip
+  SELECT a.feature, a.sgn, round(a.accuracy, 9) AS accuracy,
+         round(u.auc, 9) AS auc
+  FROM acc a JOIN auc u ON a.feature = u.feature AND a.sgn = u.sgn
+), b AS (
+  SELECT accuracy AS acc0, auc AS auc0 FROM m WHERE feature = '__base__'
+)
+SELECT m.feature,
+  CASE WHEN m.sgn > 0 THEN '+5.0%' ELSE '-5.0%' END AS perturbation,
+  round(m.accuracy, 4) AS accuracy,
+  round(m.auc, 4) AS auc,
+  round(m.accuracy - b.acc0, 4) AS delta_accuracy,
+  round(m.auc - b.auc0, 4) AS delta_auc
+FROM m, b WHERE m.feature <> '__base__'
+"""
+
+
+def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "stress_deltas": q_stress_deltas,
+    }
+
+
+def all_oracles4() -> dict[str, str]:
+    return {
+        "stress_deltas": SQL_STRESS_DELTAS,
+    }

@@ -1,0 +1,57 @@
+"""Closed-form deterministic models whose ``transform`` is pure Spark
+SQL column arithmetic (JVM whole-stage codegen, no Python in the
+scoring path).
+
+Purpose: put model-DEPENDENT batteries (stress deltas, benchmark
+comparison) under the DuckDB value-hash oracle gate. A fitted
+pyspark.ml model's coefficients are not ANSI-SQL-recomputable, but a
+closed-form sigmoid with fixed literal weights is — both engines score
+the identical function, so perturbation deltas become exact oracle
+arithmetic (reference flow: tanml/checks/stress_test.py:75-206 scores
+a fitted sklearn model; here the model is the deterministic stand-in
+that makes the battery verifiable end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ClosedFormSigmoidModel:
+    """probability = sigmoid(bias + Σ w_c · x_c) rounded to ``round_dp``
+    (rounding forces score ties — exercising tie-averaged ranks — and
+    absorbs cross-engine libm noise); prediction = p ≥ 0.5.
+
+    Drop-in for the ``model.transform`` contract the check batteries
+    expect: emits an ml-vector ``probability`` column and a double
+    ``prediction`` column, exactly like a pyspark.ml classifier.
+    """
+
+    def __init__(self, weights: dict[str, float], bias: float = 0.0,
+                 round_dp: int = 3):
+        self.weights = dict(weights)
+        self.bias = float(bias)
+        self.round_dp = round_dp
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        z = F.lit(self.bias)
+        for c, w in self.weights.items():
+            z = z + F.lit(float(w)) * F.col(c).cast("double")
+        p1 = F.round(1.0 / (1.0 + F.exp(-z)), self.round_dp)
+        return df.withColumn(
+            "probability", array_to_vector(F.array(F.lit(1.0) - p1, p1))
+        ).withColumn("prediction", (p1 >= 0.5).cast("double"))
+
+    def sql(self, feature_exprs: dict[str, str] | None = None) -> str:
+        """The ANSI-SQL expression for the class-1 probability — the
+        oracle-side mirror of ``transform`` (DuckDB and Spark agree
+        after ``round_dp`` rounding)."""
+        fx = feature_exprs or {}
+        terms = " + ".join(
+            f"({w!r}) * ({fx.get(c, c)}::DOUBLE)"
+            for c, w in self.weights.items()
+        )
+        return f"round(1.0 / (1.0 + exp(-(({self.bias!r}) + {terms}))), {self.round_dp})"

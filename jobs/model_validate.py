@@ -50,6 +50,8 @@ def main() -> int:
     ap.add_argument("--model-pickle", default=None)
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--stress-features", type=int, default=4)
+    ap.add_argument("--report", default="md,html",
+                    help="comma list of report formats: md,html,docx")
     ap.add_argument("--cores", type=int, default=0)
     args = ap.parse_args()
 
@@ -233,6 +235,14 @@ def main() -> int:
                  f"<title>Model validation</title><style>{_HTML_STYLE}"
                  "</style></head><body>"
                  + "\n".join(body) + "</body></html>\n")
+
+    # docx: the reference's deliverable format (generators.py) — same
+    # content model, stdlib OOXML writer
+    if "docx" in args.report.split(","):
+        from tanml_spark.docx_report import write_model_docx
+
+        write_model_docx(metrics_doc,
+                         os.path.join(args.run_dir, "report.docx"))
 
     print(json.dumps({
         "run_dir": args.run_dir,

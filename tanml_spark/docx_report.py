@@ -1,0 +1,227 @@
+"""DOCX report artifact — stdlib-only OOXML writer.
+
+The reference ships a python-docx report generator
+(tanml/ui/reports/generators.py:326+: headings, metric tables,
+status-colored verdict cells assembled into a .docx deliverable). This
+environment has no python-docx, but a .docx is just a zip of OOXML
+parts — ``zipfile`` + hand-built WordprocessingML covers everything the
+report needs: styled headings, paragraphs with bold/colored runs, and
+bordered tables with per-cell status colors.
+
+The builder is intentionally small: the report's content model (title,
+findings list, metric tables, verdict table) comes from the same
+summary dict as report.py's markdown/HTML renderers, so the three
+artifacts always agree.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from xml.sax.saxutils import escape
+
+# reference status palette (generators.py uses green/amber/red verdict
+# colors); hex without '#', per OOXML w:color/w:shd conventions
+STATUS_COLORS = {"pass": "1A7F37", "warning": "9A6700", "fail": "CF222E"}
+STATUS_FILLS = {"pass": "DDF4E4", "warning": "FFF3CD", "fail": "FFE0E3"}
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+<Override PartName="/word/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.styles+xml"/>
+</Types>
+"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+</Relationships>
+"""
+
+_DOC_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+</Relationships>
+"""
+
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:styles xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+<w:style w:type="paragraph" w:styleId="Heading1">
+ <w:name w:val="heading 1"/>
+ <w:pPr><w:spacing w:before="240" w:after="120"/></w:pPr>
+ <w:rPr><w:b/><w:sz w:val="36"/></w:rPr>
+</w:style>
+<w:style w:type="paragraph" w:styleId="Heading2">
+ <w:name w:val="heading 2"/>
+ <w:pPr><w:spacing w:before="200" w:after="100"/></w:pPr>
+ <w:rPr><w:b/><w:sz w:val="28"/></w:rPr>
+</w:style>
+</w:styles>
+"""
+
+_W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def _run(text: str, bold: bool = False, color: str | None = None) -> str:
+    props = []
+    if bold:
+        props.append("<w:b/>")
+    if color:
+        props.append(f'<w:color w:val="{color}"/>')
+    rpr = f"<w:rPr>{''.join(props)}</w:rPr>" if props else ""
+    return (f'<w:r>{rpr}<w:t xml:space="preserve">'
+            f"{escape(str(text))}</w:t></w:r>")
+
+
+class DocxBuilder:
+    """Assemble a minimal-but-valid WordprocessingML document."""
+
+    def __init__(self) -> None:
+        self._body: list[str] = []
+
+    def heading(self, text: str, level: int = 1) -> "DocxBuilder":
+        style = f"Heading{min(max(level, 1), 2)}"
+        self._body.append(
+            f'<w:p><w:pPr><w:pStyle w:val="{style}"/></w:pPr>'
+            f"{_run(text, bold=True)}</w:p>"
+        )
+        return self
+
+    def paragraph(self, text: str, bold: bool = False,
+                  color: str | None = None) -> "DocxBuilder":
+        self._body.append(f"<w:p>{_run(text, bold, color)}</w:p>")
+        return self
+
+    def bullet(self, text: str) -> "DocxBuilder":
+        # plain-dash bullet: no numbering part needed, renders everywhere
+        self._body.append(f"<w:p>{_run('• ' + str(text))}</w:p>")
+        return self
+
+    def table(self, headers: list[str], rows: list[list],
+              status_col: int | None = None) -> "DocxBuilder":
+        """Bordered table; when ``status_col`` is given, cells in that
+        column whose text is a status word get the reference's verdict
+        color + fill."""
+        def cell(text, *, bold=False, fill=None, color=None):
+            shd = (f'<w:tcPr><w:shd w:val="clear" w:fill="{fill}"/></w:tcPr>'
+                   if fill else "<w:tcPr/>")
+            return (f"<w:tc>{shd}<w:p>{_run(text, bold, color)}</w:p></w:tc>")
+
+        parts = [
+            "<w:tbl><w:tblPr>"
+            '<w:tblW w:w="0" w:type="auto"/>'
+            "<w:tblBorders>"
+            + "".join(
+                f'<w:{side} w:val="single" w:sz="4" w:color="D0D4DC"/>'
+                for side in ("top", "left", "bottom", "right",
+                             "insideH", "insideV")
+            )
+            + "</w:tblBorders></w:tblPr>"
+        ]
+        parts.append(
+            "<w:tr>" + "".join(cell(h, bold=True) for h in headers) + "</w:tr>"
+        )
+        for row in rows:
+            tds = []
+            for i, v in enumerate(row):
+                sv = str(v)
+                if status_col is not None and i == status_col \
+                        and sv in STATUS_COLORS:
+                    tds.append(cell(sv, bold=True, fill=STATUS_FILLS[sv],
+                                    color=STATUS_COLORS[sv]))
+                else:
+                    tds.append(cell(sv))
+            parts.append("<w:tr>" + "".join(tds) + "</w:tr>")
+        parts.append("</w:tbl>")
+        # Word requires a paragraph between/after tables
+        parts.append("<w:p/>")
+        self._body.append("".join(parts))
+        return self
+
+    def xml(self) -> str:
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            f"<w:document {_W}><w:body>"
+            + "".join(self._body)
+            + "<w:sectPr/></w:body></w:document>"
+        )
+
+    def save(self, path: str) -> str:
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+            z.writestr("_rels/.rels", _RELS)
+            z.writestr("word/_rels/document.xml.rels", _DOC_RELS)
+            z.writestr("word/styles.xml", _STYLES)
+            z.writestr("word/document.xml", self.xml())
+        return path
+
+
+def write_validation_docx(summary: dict, path: str) -> str:
+    """The run-report .docx from the same summary dict report.py
+    renders to markdown/HTML (reference deliverable:
+    ui/reports/generators.py assembles the equivalent sections)."""
+    from tanml_spark.narratives import suite_narratives
+
+    d = DocxBuilder()
+    d.heading("Validation report", 1)
+    d.paragraph(f"run_dir: {summary['run_dir']}")
+    status = summary["overall_status"]
+    d.paragraph(f"Overall: {status.upper()}", bold=True,
+                color=STATUS_COLORS.get(status))
+    rows = []
+    for name in sorted(summary["checks"]):
+        c = summary["checks"][name]
+        counts = (
+            f"{c.get('n_pass', '-')}/{c.get('n_warning', '-')}"
+            f"/{c.get('n_fail', '-')}"
+            if "n_verdicts" in c else "-"
+        )
+        rows.append([name, c["status"], counts, c.get("summary", "")])
+    d.heading("Checks", 2)
+    d.table(["check", "status", "verdicts (pass/warn/fail)", "summary"],
+            rows, status_col=1)
+    findings = suite_narratives(summary)
+    if findings:
+        d.heading("Findings", 2)
+        for s in findings:
+            d.bullet(s)
+    if summary.get("violation_tables"):
+        d.paragraph(
+            "Violation tables: " + ", ".join(summary["violation_tables"]))
+    return d.save(path)
+
+
+def write_model_docx(metrics_doc: dict, path: str) -> str:
+    """The model-validation .docx from model_validate.py's metrics doc
+    (findings, train/test batteries, stress deltas, importance, drift,
+    benchmark) — section-for-section the reference generator's layout."""
+    d = DocxBuilder()
+    d.heading("Model validation report", 1)
+    d.paragraph(f"model: {metrics_doc['model']}   "
+                f"task: {metrics_doc['task']}")
+    d.heading("Findings", 2)
+    for s in metrics_doc.get("findings", []):
+        d.bullet(s)
+
+    for split in ("train", "test"):
+        m = metrics_doc.get(f"{split}_metrics") or {}
+        if m:
+            d.heading(f"{split.capitalize()} metrics", 2)
+            d.table(["metric", "value"],
+                    [[k, round(v, 6)] for k, v in sorted(m.items())])
+
+    def records_table(title: str, recs) -> None:
+        if not recs:
+            return
+        cols = list(recs[0].keys())
+        d.heading(title, 2)
+        d.table(cols, [[r.get(c, "") for c in cols] for r in recs])
+
+    records_table("Stress test", metrics_doc.get("stress"))
+    records_table("Permutation importance", metrics_doc.get("importance"))
+    records_table("Drift", metrics_doc.get("drift"))
+    records_table("Benchmark", metrics_doc.get("benchmark"))
+    if metrics_doc.get("shap_summary"):
+        records_table("SHAP summary", metrics_doc["shap_summary"])
+    return d.save(path)

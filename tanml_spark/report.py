@@ -214,13 +214,16 @@ def collect_plots(run_dir: str) -> dict[str, str]:
 
 
 def write_report(spark: SparkSession, run_dir: str) -> str:
-    """Write report.md + report.html + report.json into the run dir;
-    returns the md path."""
+    """Write report.md + report.html + report.docx + report.json into
+    the run dir; returns the md path."""
+    from tanml_spark.docx_report import write_validation_docx
+
     summary = build_report(spark, run_dir)
     with open(os.path.join(run_dir, "report.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
     with open(os.path.join(run_dir, "report.html"), "w") as f:
         f.write(render_html(summary, collect_plots(run_dir)))
+    write_validation_docx(summary, os.path.join(run_dir, "report.docx"))
     md_path = os.path.join(run_dir, "report.md")
     with open(md_path, "w") as f:
         f.write(render_markdown(summary))

@@ -1,0 +1,149 @@
+"""DOCX artifact (docx_report.py) — structural OOXML validation.
+
+python-docx is absent in this environment, so the tests validate what
+python-docx (and Word) require to open the file: a correct zip package
+(content types, package rels, document rels, styles, document), every
+part strictly well-formed XML in the right namespaces, and the report
+content (headings, status colors, tables) present in document.xml.
+"""
+
+import os
+import xml.etree.ElementTree as ET
+import zipfile
+
+from tanml_spark.docx_report import (
+    STATUS_COLORS,
+    DocxBuilder,
+    write_model_docx,
+    write_validation_docx,
+)
+
+W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+CT_NS = "http://schemas.openxmlformats.org/package/2006/content-types"
+
+REQUIRED_PARTS = [
+    "[Content_Types].xml",
+    "_rels/.rels",
+    "word/_rels/document.xml.rels",
+    "word/styles.xml",
+    "word/document.xml",
+]
+
+
+def _assert_valid_package(path):
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        for part in REQUIRED_PARTS:
+            assert part in names, f"missing {part}"
+        for part in REQUIRED_PARTS:
+            ET.fromstring(z.read(part))  # strictly well-formed
+        ct = ET.fromstring(z.read("[Content_Types].xml"))
+        overrides = {
+            o.get("PartName"): o.get("ContentType")
+            for o in ct.findall(f"{{{CT_NS}}}Override")
+        }
+        assert overrides["/word/document.xml"].endswith("document.main+xml")
+        doc = ET.fromstring(z.read("word/document.xml"))
+        assert doc.tag == f"{{{W_NS}}}document"
+        body = doc.find(f"{{{W_NS}}}body")
+        assert body is not None and len(body) > 0
+        return z.read("word/document.xml").decode()
+
+
+def _texts(doc_xml):
+    root = ET.fromstring(doc_xml)
+    return [t.text or "" for t in root.iter(f"{{{W_NS}}}t")]
+
+
+def test_builder_roundtrip(tmp_path):
+    p = str(tmp_path / "t.docx")
+    (DocxBuilder()
+     .heading("Title", 1)
+     .paragraph("plain")
+     .paragraph("bold red", bold=True, color="CF222E")
+     .bullet("a finding")
+     .table(["a", "b"], [["x", "pass"], ["y", "fail"]], status_col=1)
+     .save(p))
+    doc = _assert_valid_package(p)
+    texts = _texts(doc)
+    assert "Title" in texts and "plain" in texts
+    assert "• a finding" in texts
+    # status cells carry the verdict color AND fill
+    assert f'<w:color w:val="{STATUS_COLORS["pass"]}"/>' in doc
+    assert f'<w:color w:val="{STATUS_COLORS["fail"]}"/>' in doc
+    assert "<w:shd" in doc
+    # XML-escaping: no raw specials may survive
+    p2 = str(tmp_path / "esc.docx")
+    DocxBuilder().paragraph('<&"> x').save(p2)
+    doc2 = _assert_valid_package(p2)
+    assert "&lt;&amp;" in doc2 and "<&" not in doc2.split("<w:t", 1)[1][:40]
+
+
+def test_validation_docx_from_summary(tmp_path):
+    summary = {
+        "run_dir": "/runs/r1",
+        "overall_status": "fail",
+        "checks": {
+            "uniqueness": {"status": "fail", "n_verdicts": 6, "n_pass": 4,
+                           "n_warning": 0, "n_fail": 2,
+                           "summary": "2 partitions with dups",
+                           "metrics": {"n_rows_duplicated": 12}},
+            "drift": {"status": "pass", "summary": "stable",
+                      "metrics": {"psi": 0.01}},
+        },
+        "violation_tables": ["uniqueness"],
+    }
+    p = write_validation_docx(summary, str(tmp_path / "report.docx"))
+    doc = _assert_valid_package(p)
+    texts = _texts(doc)
+    assert "Validation report" in texts
+    assert "Overall: FAIL" in texts
+    assert "uniqueness" in texts and "drift" in texts
+    assert any("Violation tables" in t for t in texts)
+    # table row count: header + 2 checks
+    assert doc.count("<w:tr>") == 3
+
+
+def test_model_docx_from_metrics_doc(tmp_path):
+    metrics_doc = {
+        "task": "classification",
+        "model": "pyspark.ml.LogisticRegression",
+        "train_metrics": {"accuracy": 0.91, "roc_auc": 0.95},
+        "test_metrics": {"accuracy": 0.88, "roc_auc": 0.92},
+        "stress": [{"feature": "income", "perturbation": "+1.0%",
+                    "accuracy": 0.88, "auc": 0.92,
+                    "delta_accuracy": -0.001, "delta_auc": 0.0}],
+        "importance": [{"feature": "income", "importance": 0.2}],
+        "drift": [{"column": "income", "psi": 0.02, "severity": "none"}],
+        "benchmark": [{"model": "primary", "roc_auc": 0.92}],
+        "shap_summary": None,
+        "findings": ["Strong discrimination (ROC AUC 0.92).",
+                     "No drift detected."],
+    }
+    p = write_model_docx(metrics_doc, str(tmp_path / "model.docx"))
+    doc = _assert_valid_package(p)
+    texts = _texts(doc)
+    assert "Model validation report" in texts
+    assert any("Strong discrimination" in t for t in texts)
+    for section in ("Findings", "Train metrics", "Test metrics",
+                    "Stress test", "Permutation importance", "Drift",
+                    "Benchmark"):
+        assert section in texts, section
+
+
+def test_validate_job_writes_docx(spark, tmp_path):
+    """write_report (jobs/validate.py path) now drops report.docx next
+    to report.md/html."""
+    from tanml_spark.report import write_report
+    from tanml_spark.runner import ValidationRunner
+    from tanml_spark.sources.code_files import gen_code_files
+
+    run_dir = str(tmp_path / "run")
+    runner = ValidationRunner(spark, run_dir)
+    df = gen_code_files(spark, 2000, 50)
+    runner.run_constraints(df, [
+        {"type": "not_null", "column": "lang", "name": "lang_not_null"},
+    ])
+    write_report(spark, run_dir)
+    assert os.path.exists(os.path.join(run_dir, "report.docx"))
+    _assert_valid_package(os.path.join(run_dir, "report.docx"))

@@ -50,6 +50,7 @@ def test_classification_run_produces_full_report(credit_parquet):
         "--label", "target", "--features", FEATS,
         "--task", "classification", "--algo", "LogisticRegression",
         "--run-dir", run_dir, "--cores", "4", "--stress-features", "2",
+        "--report", "md,html,docx",
     ])
     assert 0.5 < res["test_metrics"]["roc_auc"] < 1.0
     assert "roc_test.svg" in res["plots"]
@@ -63,6 +64,16 @@ def test_classification_run_produces_full_report(credit_parquet):
     html = open(os.path.join(run_dir, "report.html")).read()
     assert html.count("<svg") == len(res["plots"])
     assert "<h2>Findings</h2>" in html
+    # --report docx -> a structurally valid OOXML package with the
+    # same sections (full structural checks in test_docx_report.py)
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(os.path.join(run_dir, "report.docx")) as z:
+        doc = z.read("word/document.xml").decode()
+        ET.fromstring(doc)  # well-formed
+    assert "Model validation report" in doc
+    assert "Stress test" in doc and "Benchmark" in doc
 
 
 def test_pickled_model_path(credit_parquet):

@@ -6,15 +6,18 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
 Decode status by format:
 - **REAL decode**: WAV/PCM via stdlib ``wave`` (sample rate, duration,
-  RMS, peak), uncompressed 24-bit BMP via header parsing + numpy, and
-  — new in round 3 — PNG via a pure-python decoder (stdlib zlib
-  inflate + numpy scanline unfiltering, all five filter types, color
-  types 0/2/4/6) — see ``decode_wav`` / ``decode_bmp`` /
-  ``decode_png``; full encode→decode roundtrips are tested.
-- **Honest absence**: JPEG/MP4 need libjpeg/ffmpeg, which this
-  environment lacks — ``extract_media_features`` marks such rows
-  decode_ok=False (never fakes values); the legacy ``_decode_image``
-  stub remains for the schema-contract tests and is clearly marked.
+  RMS, peak), uncompressed 24-bit BMP via header parsing + numpy, PNG
+  via a pure-python decoder (r03 — stdlib zlib inflate + numpy
+  scanline unfiltering, all five filter types, color types 0/2/4/6),
+  and — new in round 5 — baseline JPEG via ``operators/jpeg.py``
+  (pure-python huffman + numpy IDCT: SOF0, any sampling factors up to
+  2x2 incl. 4:2:0, restart markers; luma-only inverse transform). Full
+  encode→decode roundtrips are tested for every format.
+- **Honest absence**: progressive/arithmetic JPEG and MP4 need
+  libjpeg/ffmpeg-class codecs this environment lacks —
+  ``extract_media_features`` marks such rows decode_ok=False (never
+  fakes values); the legacy ``_decode_image`` stub remains for the
+  schema-contract tests and is clearly marked.
 
 Scale notes: media rows are large — ``repartition`` by size budget
 before mapInPandas so a batch of B rows fits executor memory
@@ -340,9 +343,18 @@ def gen_real_media(spark, n: int = 60) -> DataFrame:
                     rgb[..., 0] = np.broadcast_to(gx, (h, w)).astype(np.uint8)
                     rgb[..., 1] = (mid * 7) % 256
                     rgb[..., 2] = 128
-                    if mid % 4 == 3:  # odd ids split: BMP (1 mod 4) / PNG (3 mod 4)
+                    # odd ids mod 8: 1 -> BMP, 3 -> PNG, 5 -> JPEG
+                    # (4:2:0 + restarts), 7 -> JPEG (4:4:4)
+                    m8 = mid % 8
+                    if m8 == 3:
                         data = encode_png(rgb)
                         mime = "image/png"
+                    elif m8 in (5, 7):
+                        from tanml_spark.operators.jpeg import encode_jpeg
+                        data = encode_jpeg(
+                            rgb, subsampling="420" if m8 == 5 else "444",
+                            restart_interval=2 if m8 == 5 else 0)
+                        mime = "image/jpeg"
                     else:
                         data = encode_bmp(rgb)
                         mime = "image/bmp"
@@ -384,6 +396,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                                    decode_ok=True)
                     elif mime == "image/png":
                         w, h, luma = decode_png(data)
+                        rec.update(width=w, height=h, mean_luma=luma,
+                                   decode_ok=True)
+                    elif mime == "image/jpeg":
+                        from tanml_spark.operators.jpeg import decode_jpeg
+                        w, h, luma = decode_jpeg(data)
                         rec.update(width=w, height=h, mean_luma=luma,
                                    decode_ok=True)
                 except Exception:  # malformed media: flagged, never fatal

@@ -1,0 +1,135 @@
+"""Baseline JPEG codec (operators/jpeg.py).
+
+Golden decodes use FROZEN bytes (hex literals in-repo) with
+expectations computed ANALYTICALLY from the JPEG math — flat blocks
+survive Annex-K quantization exactly (DC = round(8·(g−128)/16),
+pixel = DC·16/8 + 128) — so the decoder is checked against the spec,
+not against the encoder. Lossy roundtrips are additionally
+cross-checked against the independent BMP decode path on identical
+pixel content, which would catch an encoder+decoder pair that is
+consistently wrong in the same way.
+"""
+
+import numpy as np
+import pytest
+
+from tanml_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from tanml_spark.operators.multimodal import decode_bmp, encode_bmp
+
+# flat 8x8 gray level 200 — quantization-exact: DC = round(8·72/16) = 36,
+# decoded pixel = 36·16/8 + 128 = 200
+GOLDEN_FLAT200 = bytes.fromhex(
+    "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11"
+    "161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f"
+    "6270646763ffc0000b080008000801011100ffc4001f00000105010101010101000"
+    "00000000000000102030405060708090a0bffc400b5100002010303020403050504"
+    "040000017d01020300041105122131410613516107227114328191a1082342b1c1"
+    "1552d1f02433627282090a161718191a25262728292a3435363738393a43444546"
+    "4748494a535455565758595a636465666768696a737475767778797a8384858687"
+    "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4"
+    "c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8"
+    "f9faffda0008010100003f00e92bffd9"
+)
+# 16x16 two-tone (top half 50, bottom half 150): both levels
+# quantization-exact; mean = 100/255. Exercises DC differential coding
+# across 4 blocks.
+GOLDEN_TWOTONE = bytes.fromhex(
+    "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11"
+    "161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f"
+    "6270646763ffc0000b080010001001011100ffc4001f00000105010101010101000"
+    "00000000000000102030405060708090a0bffc400b5100002010303020403050504"
+    "040000017d01020300041105122131410613516107227114328191a1082342b1c1"
+    "1552d1f02433627282090a161718191a25262728292a3435363738393a43444546"
+    "4748494a535455565758595a636465666768696a737475767778797a8384858687"
+    "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4"
+    "c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8"
+    "f9faffda0008010100003f00e628aeca8affd9"
+)
+
+
+def test_golden_flat_gray_exact():
+    w, h, luma = decode_jpeg(GOLDEN_FLAT200)
+    assert (w, h) == (8, 8)
+    assert abs(luma - 200 / 255.0) < 1e-9
+
+
+def test_golden_twotone_exact():
+    w, h, luma = decode_jpeg(GOLDEN_TWOTONE)
+    assert (w, h) == (16, 16)
+    assert abs(luma - 100 / 255.0) < 1e-9
+
+
+def test_quantization_exact_flat_levels():
+    """Every flat level roundtrips to its analytically predicted
+    quantized value (spec arithmetic, not encoder agreement)."""
+    for g in (0, 37, 100, 128, 200, 255):
+        data = encode_jpeg(np.full((8, 8), g, dtype=np.uint8))
+        _w, _h, luma = decode_jpeg(data)
+        dc = round(8 * (g - 128) / 16)
+        expected = min(max(dc * 16 / 8 + 128, 0), 255) / 255.0
+        assert abs(luma - expected) < 1e-9, g
+
+
+def test_gray_gradient_roundtrip_near_lossless_mean():
+    img = np.linspace(0, 255, 24 * 40).reshape(24, 40).astype(np.uint8)
+    w, h, luma = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (40, 24)
+    assert abs(luma - img.mean() / 255.0) < 0.01
+
+
+@pytest.mark.parametrize("sub,ri", [("444", 0), ("444", 3),
+                                    ("420", 0), ("420", 2)])
+def test_color_roundtrip_vs_independent_bmp_path(sub, ri):
+    """Same pixels through JPEG (this codec, both subsamplings, with
+    and without restart markers) and through the independent BMP codec:
+    mean luma must agree — catches consistent encoder+decoder bias."""
+    rgb = np.zeros((37, 53, 3), dtype=np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, 53, dtype=np.uint8)[None, :]
+    rgb[..., 1] = np.linspace(0, 200, 37, dtype=np.uint8)[:, None]
+    rgb[..., 2] = 128
+    _bw, _bh, bmp_luma = decode_bmp(encode_bmp(rgb))
+    w, h, luma = decode_jpeg(encode_jpeg(rgb, subsampling=sub,
+                                         restart_interval=ri))
+    assert (w, h) == (53, 37)
+    assert abs(luma - bmp_luma) < 0.01, (luma, bmp_luma)
+
+
+def test_noise_roundtrip_odd_dims():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (31, 29)).astype(np.uint8)
+    w, h, luma = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (29, 31)
+    assert abs(luma - img.mean() / 255.0) < 0.02
+
+
+def test_non_baseline_rejected_not_faked():
+    # progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
+    data = bytearray(GOLDEN_FLAT200)
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_spark_pipeline_decodes_jpeg(spark):
+    """gen_real_media now emits real JPEG rows (4:4:4 and 4:2:0 with
+    restarts); extract_media_features must return real dims + luma with
+    decode_ok=True, matching a driver-side decode bit-for-bit."""
+    from tanml_spark.operators.multimodal import (extract_media_features,
+                                                  gen_real_media)
+
+    media = gen_real_media(spark, 40)
+    jpegs = {r["media_id"]: r for r in media.collect() if
+             r["mime"] == "image/jpeg"}
+    assert jpegs, "fixture should contain jpeg rows"
+    feats = {r["media_id"]: r
+             for r in extract_media_features(media).collect()
+             if r["mime"] == "image/jpeg"}
+    assert set(feats) == set(jpegs)
+    for mid, r in feats.items():
+        assert r["decode_ok"], mid
+        w, h, luma = decode_jpeg(bytes(jpegs[mid]["data"]))
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_luma"] - luma) < 1e-12

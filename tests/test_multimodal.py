@@ -230,8 +230,10 @@ def test_real_media_includes_png_and_is_partition_invariant(spark):
     feats = {r["media_id"]: r for r in
              extract_media_features(gen_real_media(spark, 48)).collect()}
     pngs = [r for r in feats.values() if r["mime"] == "image/png"]
-    assert len(pngs) == 12  # ids 3 mod 4
-    for r in pngs:
+    jpgs = [r for r in feats.values() if r["mime"] == "image/jpeg"]
+    assert len(pngs) == 6   # ids 3 mod 8
+    assert len(jpgs) == 12  # ids 5,7 mod 8 (r05: real baseline JPEG)
+    for r in pngs + jpgs:
         assert r["decode_ok"] and r["width"] >= 16 and 0.0 < r["mean_luma"] < 1.0
     again = {r["media_id"]: r for r in
              extract_media_features(

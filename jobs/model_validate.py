@@ -123,6 +123,7 @@ def main() -> int:
     from tanml_spark.checks.drift import analyze_drift
     from tanml_spark.checks.explainability import permutation_importance
     from tanml_spark.checks.stress import stress_test
+    from tanml_spark.checks.treeshap import tree_shap_values
 
     test_id = test.withColumn("__sid", F.xxhash64(*[F.col(c) for c in feats]))
     stress_rows = stress_test(
@@ -166,13 +167,25 @@ def main() -> int:
                 "cumulative fraction"))
 
     shap_summary_rows = None
+    sv = None
     if predict_fn is not None:
         from tanml_spark.checks.explainability import (background_sample,
                                                        shap_values)
-        from tanml_spark.checks.explainability import shap_summary as shap_sum
 
         bg = background_sample(train, feats)
         sv = shap_values(test, feats, predict_fn, bg, test_n=100)
+    else:
+        # tree families: EXACT path-dependent TreeSHAP over the
+        # broadcast tree tables (checks/treeshap.py, r05) — the
+        # reference's TreeExplainer analog, no shap dependency
+        try:
+            sv = tree_shap_values(test, feats, model, test_n=100)
+        except ValueError:
+            sv = None  # not a tree model / categorical splits
+    if sv is not None:
+        from tanml_spark.checks.explainability import shap_summary as shap_sum
+
+        sv = sv.cache()
         put("shap_beeswarm.svg", P.svg_beeswarm(
             P.shap_beeswarm_data(sv), "SHAP attributions (test sample)"))
         shap_summary_rows = shap_sum(sv).toPandas().to_dict("records")

@@ -123,3 +123,20 @@ def test_regression_run(credit_parquet):
     assert "rmse" in res["test_metrics"] and "r2" in res["test_metrics"]
     m = json.load(open(os.path.join(run_dir, "metrics.json")))
     assert any("variance" in f for f in m["findings"])
+
+
+def test_tree_model_gets_exact_treeshap(credit_parquet):
+    """A tree-family algo (no coefficients -> no linear predict_fn)
+    now gets the SHAP section via exact TreeSHAP (r05)."""
+    run_dir = str(credit_parquet / "run_tree")
+    res = _run([
+        "--train", str(credit_parquet / "train"),
+        "--test", str(credit_parquet / "test"),
+        "--label", "target", "--features", FEATS,
+        "--task", "classification", "--algo", "DecisionTreeClassifier",
+        "--run-dir", run_dir, "--cores", "4", "--stress-features", "1",
+    ])
+    assert "shap_beeswarm.svg" in res["plots"]
+    m = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert m["shap_summary"], "tree model must produce a SHAP summary"
+    assert len(m["findings"]) == 6  # includes the SHAP story

@@ -1,0 +1,239 @@
+"""Exact path-dependent TreeSHAP (checks/treeshap.py).
+
+Three independent lines of verification:
+1. a depth-2 tree with HAND-COMPUTED Shapley values (worked out on
+   paper from the conditional-expectation definition);
+2. a brute-force oracle implemented here from first principles —
+   E[f|S] by direct tree traversal + the raw Shapley sum over ALL
+   feature subsets — compared exactly on random trees/rows;
+3. additivity against the live pyspark.ml model outputs (probability /
+   prediction / GBT margin) on fitted models, through the distributed
+   mapInPandas surface, partition-invariant.
+"""
+
+from itertools import combinations
+from math import factorial
+
+import numpy as np
+import pytest
+
+from tanml_spark.checks.treeshap import (
+    extract_model_trees,
+    tree_shap_matrix,
+    tree_shap_values,
+)
+
+HAND_TREE = {
+    # root: x0 <= 0.5 (cover 100) -> [x1 <= 0.3 (60)] / leaf v=2 (40)
+    # x1 node -> leaf v=0 (20) / leaf v=1 (40)
+    "cl": np.array([1, 2, -1, -1, -1], np.int32),
+    "cr": np.array([4, 3, -1, -1, -1], np.int32),
+    "feat": np.array([0, 1, -1, -1, -1], np.int32),
+    "thr": np.array([0.5, 0.3, 0, 0, 0], np.float64),
+    "val": np.array([0, 0, 0.0, 1.0, 2.0], np.float64),
+    "cover": np.array([100, 60, 20, 40, 40], np.float64),
+}
+
+
+def test_hand_computed_depth2():
+    """x = (0.4, 0.5): E(∅)=1.2, E({x0})=2/3, E({x1})=1.4, E(full)=1
+    → φ = (−7/15, 4/15), worked by hand from the definition."""
+    phi, base = tree_shap_matrix([HAND_TREE], [1.0],
+                                 np.array([[0.4, 0.5]]))
+    assert abs(base - 1.2) < 1e-12
+    assert abs(phi[0, 0] - (-7 / 15)) < 1e-12
+    assert abs(phi[0, 1] - (4 / 15)) < 1e-12
+    assert abs(phi.sum() + base - 1.0) < 1e-12  # f(x) = leaf value 1
+
+
+# ---------------- brute-force oracle (independent implementation) ----
+
+
+def _cond_exp(tree, x, S):
+    def rec(node):
+        if tree["cl"][node] < 0:
+            return tree["val"][node]
+        f = int(tree["feat"][node])
+        l, r = int(tree["cl"][node]), int(tree["cr"][node])
+        if f in S:
+            return rec(l if x[f] <= tree["thr"][node] else r)
+        c = tree["cover"][node]
+        return (tree["cover"][l] / c) * rec(l) + \
+               (tree["cover"][r] / c) * rec(r)
+    return rec(0)
+
+
+def _brute_shap(tree, x, k):
+    phi = np.zeros(k)
+    feats = list(range(k))
+    for i in feats:
+        rest = [f for f in feats if f != i]
+        for s in range(len(rest) + 1):
+            w = factorial(s) * factorial(k - s - 1) / factorial(k)
+            for S in combinations(rest, s):
+                phi[i] += w * (_cond_exp(tree, x, set(S) | {i})
+                               - _cond_exp(tree, x, set(S)))
+    return phi
+
+
+def _random_tree(rng, k, depth):
+    cl, cr, feat, thr, val, cover = [], [], [], [], [], []
+
+    def build(d, cov):
+        idx = len(cl)
+        cl.append(-1); cr.append(-1)
+        cover.append(cov)
+        if d == 0 or rng.random() < 0.25:
+            feat.append(-1); thr.append(0.0)
+            val.append(float(rng.normal()))
+            return idx
+        feat.append(int(rng.integers(0, k)))
+        thr.append(float(rng.random()))
+        val.append(0.0)
+        frac = 0.2 + 0.6 * rng.random()
+        cl[idx] = build(d - 1, cov * frac)
+        cr[idx] = build(d - 1, cov * (1 - frac))
+        return idx
+
+    build(depth, 1000.0)
+    return {k_: np.array(v, dtype=(np.int32 if k_ in ("cl", "cr", "feat")
+                                   else np.float64))
+            for k_, v in zip(["cl", "cr", "feat", "thr", "val", "cover"],
+                             [cl, cr, feat, thr, val, cover])}
+
+
+def test_matches_bruteforce_on_random_trees():
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        k = int(rng.integers(2, 5))
+        tree = _random_tree(rng, k, depth=int(rng.integers(2, 5)))
+        X = rng.random((3, k))
+        phi, base = tree_shap_matrix([tree], [1.0], X)
+        assert abs(base - _cond_exp(tree, X[0], set())) < 1e-10
+        for r in range(len(X)):
+            expected = _brute_shap(tree, X[r], k)
+            assert np.allclose(phi[r], expected, atol=1e-10), (
+                trial, r, phi[r], expected)
+            fx = _cond_exp(tree, X[r], set(range(k)))
+            assert abs(phi[r].sum() + base - fx) < 1e-10
+
+
+def test_ensemble_linearity():
+    rng = np.random.default_rng(1)
+    t1 = _random_tree(rng, 3, 3)
+    t2 = _random_tree(rng, 3, 4)
+    X = rng.random((2, 3))
+    p1, b1 = tree_shap_matrix([t1], [1.0], X)
+    p2, b2 = tree_shap_matrix([t2], [1.0], X)
+    pw, bw = tree_shap_matrix([t1, t2], [0.3, 0.7], X)
+    assert np.allclose(pw, 0.3 * p1 + 0.7 * p2, atol=1e-12)
+    assert abs(bw - (0.3 * b1 + 0.7 * b2)) < 1e-12
+
+
+# ---------------- live pyspark.ml models ----------------------------
+
+
+@pytest.fixture(scope="module")
+def fit_df(spark):
+    rng = np.random.default_rng(0)
+    X = rng.random((600, 3))
+    y = ((X[:, 0] > 0.5) ^ (X[:, 1] > 0.3)).astype(int)
+    yr = 3 * X[:, 0] - 2 * X[:, 1] + X[:, 2] + rng.normal(0, 0.1, 600)
+    rows = [(float(a), float(b), float(c), int(t), float(v))
+            for (a, b, c), t, v in zip(X, y, yr)]
+    return spark.createDataFrame(
+        rows, "x1 double, x2 double, x3 double, label int, target double"
+    ).cache()
+
+
+FEATS = ["x1", "x2", "x3"]
+
+
+def _assemble(df):
+    from pyspark.ml.feature import VectorAssembler
+    return VectorAssembler(inputCols=FEATS, outputCol="features").transform(df)
+
+
+def test_decision_tree_classifier_probability_additivity(spark, fit_df):
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.functions import vector_to_array
+
+    m = DecisionTreeClassifier(maxDepth=4).fit(_assemble(fit_df))
+    trees, w, scale, _b = extract_model_trees(m)
+    assert scale == "probability" and len(trees) == 1
+    # additivity against the LIVE model's probability column
+    import pyspark.sql.functions as F
+    scored = m.transform(_assemble(fit_df)).select(
+        *FEATS, vector_to_array("probability").getItem(1).alias("p1"))
+    pmap = {(round(r["x1"], 9), round(r["x2"], 9), round(r["x3"], 9)):
+            r["p1"] for r in scored.collect()}
+    sv = tree_shap_values(fit_df, FEATS, m, test_n=30).toPandas()
+    base = sv["base_value"].iloc[0]
+    sv["rid"] = np.arange(len(sv)) // 3
+    for _rid, g in sv.groupby("rid"):
+        key = tuple(round(v, 9) for v in g["x_value"])
+        assert abs(g["shap_value"].sum() + base - pmap[key]) < 1e-9
+
+
+def test_random_forest_probability_additivity(spark, fit_df):
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.functions import vector_to_array
+
+    m = RandomForestClassifier(numTrees=5, maxDepth=4, seed=7).fit(
+        _assemble(fit_df))
+    scored = m.transform(_assemble(fit_df)).select(
+        *FEATS, vector_to_array("probability").getItem(1).alias("p1"))
+    pmap = {tuple(round(r[c], 9) for c in FEATS): r["p1"]
+            for r in scored.collect()}
+    sv = tree_shap_values(fit_df, FEATS, m, test_n=20).toPandas()
+    base = sv["base_value"].iloc[0]
+    sv["rid"] = np.arange(len(sv)) // 3
+    for _rid, g in sv.groupby("rid"):
+        key = tuple(round(v, 9) for v in g["x_value"])
+        assert abs(g["shap_value"].sum() + base - pmap[key]) < 1e-9
+
+
+def test_gbt_regression_additivity_and_partition_invariance(spark, fit_df):
+    from pyspark.ml.regression import GBTRegressor
+
+    m = GBTRegressor(maxIter=5, maxDepth=3, seed=3,
+                     labelCol="target").fit(_assemble(fit_df))
+    scored = m.transform(_assemble(fit_df)).select(*FEATS, "prediction")
+    pmap = {tuple(round(r[c], 9) for c in FEATS): r["prediction"]
+            for r in scored.collect()}
+    sv = tree_shap_values(fit_df, FEATS, m, test_n=20).toPandas()
+    base = sv["base_value"].iloc[0]
+    sv["rid"] = np.arange(len(sv)) // 3
+    for _rid, g in sv.groupby("rid"):
+        key = tuple(round(v, 9) for v in g["x_value"])
+        assert abs(g["shap_value"].sum() + base - pmap[key]) < 1e-9
+    # partition invariance: exact algorithm, no RNG -> identical values
+    again = tree_shap_values(fit_df.repartition(7), FEATS, m,
+                             test_n=20).toPandas()
+    a = sorted(map(tuple, sv[["feature", "x_value", "shap_value"]]
+                   .itertuples(index=False)))
+    b = sorted(map(tuple, again[["feature", "x_value", "shap_value"]]
+                   .itertuples(index=False)))
+    assert a == b
+
+
+def test_gbt_classification_margin_scale(spark, fit_df):
+    """GBT classification: φ on the margin scale; the live probability
+    must equal sigmoid(2 · (base + Σφ)) (Spark's logistic link)."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.functions import vector_to_array
+
+    m = GBTClassifier(maxIter=4, maxDepth=3, seed=5).fit(_assemble(fit_df))
+    trees, w, scale, _ = extract_model_trees(m)
+    assert scale == "margin"
+    scored = m.transform(_assemble(fit_df)).select(
+        *FEATS, vector_to_array("probability").getItem(1).alias("p1"))
+    pmap = {tuple(round(r[c], 9) for c in FEATS): r["p1"]
+            for r in scored.collect()}
+    sv = tree_shap_values(fit_df, FEATS, m, test_n=15).toPandas()
+    base = sv["base_value"].iloc[0]
+    sv["rid"] = np.arange(len(sv)) // 3
+    for _rid, g in sv.groupby("rid"):
+        key = tuple(round(v, 9) for v in g["x_value"])
+        margin = g["shap_value"].sum() + base
+        assert abs(1 / (1 + np.exp(-2 * margin)) - pmap[key]) < 1e-9

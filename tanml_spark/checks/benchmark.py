@@ -16,8 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tanml_spark.checks.metrics import classification_metrics, regression_metrics
-
 
 DEFAULT_BASELINES = {
     "classification": {
@@ -41,7 +39,8 @@ def _baselines(task_type: str, label_col: str,
     params accepted."""
     from tanml_spark.models.registry import build_estimator
 
-    specs = specs or DEFAULT_BASELINES[task_type]
+    # empty dict is a VALID spec (score only extra_models, fit nothing)
+    specs = DEFAULT_BASELINES[task_type] if specs is None else specs
     return {
         name: build_estimator("pyspark.ml", algo, params, label_col=label_col)
         for name, (algo, params) in specs.items()
@@ -92,8 +91,13 @@ def benchmark_models(
         (name, lambda m=m: m, (te_raw, te))
         for name, m in (extra_models or {}).items()
     ]
-    rows = []
-    for name, get_model, frames in scorers:
+    # r05: fits stay sequential (the reference's shape; each fit is
+    # itself distributed), but SCORING + metrics run as ONE stacked
+    # pass keyed by model id — the stress_test pattern — instead of a
+    # separate metric battery per model.
+    names = []
+    sels = []
+    for vid, (name, get_model, frames) in enumerate(scorers):
         model = get_model()
         scored = None
         for i, frame in enumerate(frames):
@@ -103,19 +107,52 @@ def benchmark_models(
             except Exception:
                 if i == len(frames) - 1:
                     raise
+        names.append(name)
         if task_type == "classification":
-            sel = scored.select(
+            sels.append(scored.select(
+                F.lit(vid).alias("__m"),
                 F.col(label_col).alias("label"),
                 F.col("prediction").cast("int").alias("prediction"),
                 vector_to_array("probability").getItem(1).alias("score"),
-            )
-            m = classification_metrics(sel, score_col="score")
-            rows.append((name, m["accuracy"], m["precision"], m["recall"],
-                         m["f1"], m["roc_auc"]))
+            ))
         else:
-            sel = scored.select(F.col(label_col).alias("label"), "prediction")
-            m = regression_metrics(sel)
-            rows.append((name, m["rmse"], m["mae"], m["median_ae"], m["r2"]))
+            sels.append(scored.select(
+                F.lit(vid).alias("__m"),
+                F.col(label_col).alias("label"),
+                F.col("prediction").alias("prediction"),
+            ))
+    rows = []
+    if names:
+        from functools import reduce
+
+        from tanml_spark.checks.metrics import cv_fold_metrics
+
+        stacked = reduce(lambda a, b: a.unionByName(b), sels)
+        if task_type == "classification":
+            fm = {r["fold"]: r for r in cv_fold_metrics(
+                stacked, n_folds=len(names), label_col="label",
+                pred_col="prediction", score_col="score", fold_col="__m",
+            ).collect()}
+            for vid, name in enumerate(names):
+                r = fm[vid]
+                rows.append((name, r["accuracy"], r["precision"],
+                             r["recall"], r["f1"], r["roc_auc"]))
+        else:
+            err = F.col("prediction") - F.col("label")
+            agg = {r["__m"]: r for r in stacked.groupBy("__m").agg(
+                F.round(F.sqrt(F.avg(F.pow(err, 2))), 9).alias("rmse"),
+                F.round(F.avg(F.abs(err)), 9).alias("mae"),
+                F.round(F.expr(
+                    "percentile(abs(prediction - label), 0.5)"), 9)
+                .alias("median_ae"),
+                F.sum(F.pow(err, 2)).alias("sse"),
+                (F.var_pop("label") * F.count("label")).alias("sst"),
+            ).collect()}
+            for vid, name in enumerate(names):
+                r = agg[vid]
+                r2 = round(1.0 - r["sse"] / r["sst"], 9) if r["sst"] \
+                    else float("nan")
+                rows.append((name, r["rmse"], r["mae"], r["median_ae"], r2))
     tr.unpersist(); te.unpersist()
     if extra_models:
         te_raw.unpersist()

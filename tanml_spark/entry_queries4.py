@@ -137,13 +137,105 @@ FROM m, b WHERE m.feature <> '__base__'
 """
 
 
+def q_benchmark_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL benchmark comparison battery (checks/benchmark.py —
+    the reference's baselines-vs-primary metric table) over two
+    closed-form models with literal weights: scoring, confusion
+    metrics (zero_division=0 semantics) and condensed tie-averaged
+    rank AUC all recomputed by the oracle. Fitted baselines stay
+    pytest-proven (fits aren't SQL-expressible); this pins the entire
+    comparison arithmetic."""
+    from tanml_spark.checks.benchmark import benchmark_models
+    from tanml_spark.models.closed_form import ClosedFormSigmoidModel
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        (F.col("l_discount").cast("double") * 100).alias("x2"),
+        (F.col("l_quantity") > 25).cast("int").alias("y"),
+    )
+    extras = {
+        "strong": ClosedFormSigmoidModel({"x1": _W1, "x2": _W2},
+                                         bias=_BIAS, round_dp=3),
+        "weak": ClosedFormSigmoidModel({"x2": 0.2}, bias=-0.5, round_dp=3),
+    }
+    out = benchmark_models(
+        df.limit(0), df, ["x1", "x2"], "y",
+        task_type="classification", baseline_specs={}, extra_models=extras,
+    )
+    return out.select(
+        "model",
+        *[F.round(F.col(c), 6).alias(c)
+          for c in ("accuracy", "precision", "recall", "f1", "roc_auc")],
+    )
+
+
+SQL_BENCHMARK_CLOSED_FORM = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE * 100 AS x2,
+         CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), scored AS (
+  SELECT m.model, b.y,
+    CASE m.model
+      WHEN 'strong' THEN
+        round(1.0 / (1.0 + exp(-((-1.2) + 0.08 * x1 + (-0.35) * x2))), 3)
+      ELSE round(1.0 / (1.0 + exp(-((-0.5) + 0.2 * x2))), 3)
+    END AS s
+  FROM base b CROSS JOIN (SELECT * FROM (VALUES ('strong'), ('weak'))
+                          v(model)) m
+), wp AS (
+  SELECT model, y, s, CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM scored
+), conf AS (
+  SELECT model,
+    sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)::DOUBLE AS tp,
+    sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)::DOUBLE AS fp,
+    sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)::DOUBLE AS fn,
+    sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)::DOUBLE AS tn
+  FROM wp GROUP BY model
+), cond AS (
+  SELECT model, s, sum(y)::DOUBLE AS n_pos, sum(1 - y)::DOUBLE AS n_neg
+  FROM wp GROUP BY model, s
+), cum AS (
+  SELECT model, s, n_pos, n_neg,
+    sum(n_pos + n_neg) OVER w AS cum_le,
+    sum(n_pos) OVER (PARTITION BY model) AS P,
+    sum(n_neg) OVER (PARTITION BY model) AS N
+  FROM cond
+  WINDOW w AS (PARTITION BY model ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), auc AS (
+  SELECT model,
+    (sum(n_pos * (cum_le - (n_pos + n_neg) + (n_pos + n_neg + 1) / 2.0))
+       - any_value(P) * (any_value(P) + 1) / 2.0)
+      / (any_value(P) * any_value(N)) AS roc_auc
+  FROM cum GROUP BY model
+)
+SELECT c.model,
+  round(round((tp + tn) / (tp + fp + fn + tn), 9), 6) AS accuracy,
+  round(round(CASE WHEN tp + fp = 0 THEN 0.0
+                   ELSE tp / (tp + fp) END, 9), 6) AS precision,
+  round(round(CASE WHEN tp + fn = 0 THEN 0.0
+                   ELSE tp / (tp + fn) END, 9), 6) AS recall,
+  round(round(CASE WHEN tp + fp = 0 OR tp + fn = 0
+                   OR tp / (tp + fp) + tp / (tp + fn) = 0 THEN 0.0
+              ELSE 2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                   / (tp / (tp + fp) + tp / (tp + fn)) END, 9), 6) AS f1,
+  round(round(u.roc_auc, 9), 6) AS roc_auc
+FROM conf c JOIN auc u ON c.model = u.model
+"""
+
+
 def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stress_deltas": q_stress_deltas,
+        "benchmark_closed_form": q_benchmark_closed_form,
     }
 
 
 def all_oracles4() -> dict[str, str]:
     return {
         "stress_deltas": SQL_STRESS_DELTAS,
+        "benchmark_closed_form": SQL_BENCHMARK_CLOSED_FORM,
     }

@@ -19,7 +19,7 @@ and best-of-$TANML_BENCH_REPS timing:
    apart; r04 VERDICT #1) instead of sampling once. Efficiency is the
    MEDIAN of $TANML_BENCH_SCALING_REPS (default 3) interleaved N/4N
    pairs, each GATED on its own compliant calibration window (up to
-   $TANML_BENCH_PAIR_PROBES re-probes) — every probe is recorded
+   $TANML_BENCH_PAIR_PROBES re-probes, $TANML_BENCH_PAIR_WAIT_SEC apart) — every probe is recorded
    (r02 VERDICT #4 / ADVICE #1).
 3. Per-query wall time for every driver-contract query at
    $SPARK_GRAFT_SF_DIR — min of $TANML_BENCH_QUERY_REPS (default 2)
@@ -43,7 +43,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      TANML_BENCH_SCALING_LOW (default auto; 0 disables the scaling
      pair), TANML_BENCH_SCALING_ROWS (default 2e6),
      TANML_BENCH_CAL_PROBES (default 6), TANML_BENCH_CAL_WAIT_SEC
-     (default 300), TANML_BENCH_PAIR_PROBES (default 3).
+     (default 300), TANML_BENCH_PAIR_PROBES (default 3),
+     TANML_BENCH_PAIR_WAIT_SEC (default 60).
 """
 
 from __future__ import annotations
@@ -291,6 +292,9 @@ def main() -> None:
         hashes = set()
         scaling_reps = int(os.environ.get("TANML_BENCH_SCALING_REPS", "3"))
         pair_probes = int(os.environ.get("TANML_BENCH_PAIR_PROBES", "3"))
+        # pair re-probes use a SHORTER wait than the one-time N-pick
+        # loop: 3 pairs × probes × wait must stay inside a bench budget
+        pair_wait = float(os.environ.get("TANML_BENCH_PAIR_WAIT_SEC", "60"))
         for _ in range(scaling_reps):
             cal_log = []
             for i in range(max(1, pair_probes)):
@@ -299,7 +303,7 @@ def main() -> None:
                 if cal.get(f"{scale_low}->{hi}", 0) >= CAL_BAR:
                     break
                 if i < pair_probes - 1:
-                    time.sleep(cal_wait)
+                    time.sleep(pair_wait)
             lo_sec, lo_n, lo_hash = bench_level(
                 scale_low, scale_path, warm_path, repos_path, 1)
             hi_sec, hi_n, hi_hash = bench_level(

@@ -65,21 +65,29 @@ def main() -> None:
     run_rows = "\n".join(
         f"| {i + 1} | {run['eff']:.3f} | {run['files_per_sec_low']} | "
         f"{run['files_per_sec_high']} | {json.dumps(run['host_cpu_scaling'])} |"
+        + (f" {'yes' if run['cal_window_compliant'] else 'NO'} "
+           f"({len(run.get('cal_probes', []))} probe(s)) |"
+           if "cal_window_compliant" in run else "")
         for i, run in enumerate(s["runs"])
     )
+    pair_col = (" window compliant |"
+                if any("cal_window_compliant" in run for run in s["runs"])
+                else "")
     pick = s.get("n_picked_by_calibration")
     if pick is not None:
+        probes = s.get("n_pick_probes") or [pick]
         pick_line = (
-            f"picked programmatically from the pre-run calibration "
-            f"{json.dumps(pick)}: the largest N whose N→4N pure-CPU "
-            f"ratio is ≥ 0.9 of ideal on this shared box (rule in "
-            f"bench.py)."
+            f"picked programmatically from host calibration "
+            f"{json.dumps(pick)} (r05: the bench WAITS for a compliant "
+            f"window — {len(probes)} probe(s) taken, all recorded in "
+            f"BENCH_rN.json): the largest N whose N→4N pure-CPU ratio "
+            f"is ≥ 0.9 of ideal on this shared box (rule in bench.py)."
         )
         if s.get("n_pick_rule_satisfied") is False:
             pick_line += (
-                " **CAVEAT: no rung reached 0.9 in that snapshot — the"
-                " smallest N was used as a fallback, so host contention"
-                " may depress the measured efficiency.**"
+                " **CAVEAT: no rung reached 0.9 in any probe of the"
+                " wait loop — the smallest N was used as a fallback, so"
+                " host contention may depress the measured efficiency.**"
             )
     else:
         pick_line = "fixed via $TANML_BENCH_SCALING_LOW."
@@ -123,8 +131,8 @@ snapshot (pure sha256 processes, no Spark). Reported efficiency is the
 **median**, with every per-run value listed. Verdict hashes are
 asserted byte-identical across all runs AND levels.
 
-| run | efficiency | files/s @N={s['cpus_low']} | files/s @4N={s['cpus_high']} | same-run host calibration |
-|---|---|---|---|---|
+| run | efficiency | files/s @N={s['cpus_low']} | files/s @4N={s['cpus_high']} | same-run host calibration |{pair_col}
+|---|---|---|---|---|{"---|" if pair_col else ""}
 {run_rows}
 
 **Median scaling efficiency (N={s['cpus_low']} → 4N={s['cpus_high']}): {eff:.3f}**  (pass bar ≥ 0.8)

@@ -205,6 +205,31 @@ def main() -> None:
         "  Join results verified identical.",
         "- At runtime AQE's skew-join split is the first line of",
         "  defense; salting is the deterministic plan-level guarantee.",
+        "",
+        "## Partition pruning (the 100 TB read path) — r05",
+        "",
+        "The north-rule table is a huge partitioned store (Iceberg-style",
+        "hive layout, one directory per lang / ingest date). Evidence that",
+        "a partition-targeted validation run reads ONLY its partitions,",
+        "pinned by `tests/test_partition_pruning.py` on a lang-partitioned",
+        "code_files fixture through the real engine entry points:",
+        "",
+        "- `load_table(...).filter(lang = 'python')`: executed-plan",
+        "  FileScan shows `PartitionFilters: [isnotnull(lang#N),",
+        "  (lang#N = python)]`, and the partition predicate does NOT",
+        "  appear in PushedFilters (directory pruning, not row filtering).",
+        "- File-level proof: `input_file_name()` distinct count of the",
+        "  pruned scan is a strict subset (≤ 1/3) of the full scan's",
+        "  file list.",
+        "- Pruning and row-group pushdown COMPOSE: with",
+        "  `lang = 'go' AND path < 'm'`, the scan carries the lang",
+        "  partition filter AND `PushedFilters: [LessThan(path,m)]` —",
+        "  directory pruning plus min/max row-group skipping in one scan.",
+        "- Engine checks preserve pruning end-to-end: the condensed",
+        "  PSI/KS drift pipeline over two lang slices executes with every",
+        "  FileScan carrying the corresponding lang partition filter; a",
+        "  per-lang grouped profile over `lang IN (python, java)` scans",
+        "  only those two directories.",
     ]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -213,9 +213,17 @@ def wait_for_compliant_window(
     for i in range(max(1, probes)):
         cal = host_cpu_calibration(pairs=pairs)
         log.append(cal)
-        for n, key in ((8, "8->32"), (2, "2->8")):
-            if cal.get(key, 0) >= CAL_BAR:
-                return n, True, log
+        if cal.get("8->32", 0) >= CAL_BAR:
+            # the 8->32 rung is chronically hypervisor-contended on
+            # this box (~0.65-0.78 typical) — one good probe is often a
+            # transient; demand a CONSECUTIVE confirmation before
+            # betting the whole pair series on it
+            cal2 = host_cpu_calibration(pairs=((8, 32),))
+            log.append(cal2)
+            if cal2.get("8->32", 0) >= CAL_BAR:
+                return 8, True, log
+        if cal.get("2->8", 0) >= CAL_BAR:
+            return 2, True, log
         if i < probes - 1:
             time.sleep(wait_sec)
     return 2, False, log
@@ -289,13 +297,15 @@ def main() -> None:
     if scale_low:
         hi = 4 * scale_low
         runs = []
+        aborted_runs = []
         hashes = set()
         scaling_reps = int(os.environ.get("TANML_BENCH_SCALING_REPS", "3"))
         pair_probes = int(os.environ.get("TANML_BENCH_PAIR_PROBES", "3"))
         # pair re-probes use a SHORTER wait than the one-time N-pick
         # loop: 3 pairs × probes × wait must stay inside a bench budget
         pair_wait = float(os.environ.get("TANML_BENCH_PAIR_WAIT_SEC", "60"))
-        for _ in range(scaling_reps):
+        fell_back = False
+        while len(runs) < scaling_reps:
             cal_log = []
             for i in range(max(1, pair_probes)):
                 cal = host_cpu_calibration(pairs=((scale_low, hi),), n=200_000)
@@ -304,6 +314,18 @@ def main() -> None:
                     break
                 if i < pair_probes - 1:
                     time.sleep(pair_wait)
+            compliant = cal.get(f"{scale_low}->{hi}", 0) >= CAL_BAR
+            if not compliant and scale_low > 2 and not fell_back:
+                # the picked rung's window closed mid-run (the 8->32
+                # region is chronically contended on this box): restart
+                # the WHOLE pair series at the reliable 2->8 rung rather
+                # than shipping efficiency numbers that measure the
+                # hypervisor. Completed pairs are archived, not mixed.
+                aborted_runs = runs
+                runs = []
+                scale_low, hi = 2, 8
+                fell_back = True
+                continue
             lo_sec, lo_n, lo_hash = bench_level(
                 scale_low, scale_path, warm_path, repos_path, 1)
             hi_sec, hi_n, hi_hash = bench_level(
@@ -318,8 +340,7 @@ def main() -> None:
                 "suite_sec_high": round(hi_sec, 3),
                 "host_cpu_scaling": cal,
                 "cal_probes": cal_log,
-                "cal_window_compliant":
-                    cal.get(f"{scale_low}->{hi}", 0) >= CAL_BAR,
+                "cal_window_compliant": compliant,
             })
         effs = sorted(r["eff"] for r in runs)
         eff_median = effs[len(effs) // 2]
@@ -341,6 +362,8 @@ def main() -> None:
             "n_pick_probes": pick_probes,
             "pair_windows_compliant":
                 [r["cal_window_compliant"] for r in runs],
+            "fell_back_to_lower_rung": fell_back,
+            "aborted_runs": aborted_runs,
             "host_cpu_scaling_median_run": mid["host_cpu_scaling"],
             "deterministic": len(hashes) == 1,
         }

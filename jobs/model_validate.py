@@ -51,7 +51,9 @@ def main() -> int:
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--stress-features", type=int, default=4)
     ap.add_argument("--report", default="md,html",
-                    help="comma list of report formats: md,html,docx")
+                    help="report.md and report.html are always written;"
+                         " add 'docx' to the comma list for the OOXML"
+                         " deliverable (e.g. --report md,html,docx)")
     ap.add_argument("--cores", type=int, default=0)
     args = ap.parse_args()
 

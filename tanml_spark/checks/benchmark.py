@@ -133,10 +133,13 @@ def benchmark_models(
                 stacked, n_folds=len(names), label_col="label",
                 pred_col="prediction", score_col="score", fold_col="__m",
             ).collect()}
+            nan = float("nan")
             for vid, name in enumerate(names):
-                r = fm[vid]
-                rows.append((name, r["accuracy"], r["precision"],
-                             r["recall"], r["f1"], r["roc_auc"]))
+                r = fm.get(vid)  # empty test frame -> no fold rows
+                rows.append(
+                    (name, r["accuracy"], r["precision"], r["recall"],
+                     r["f1"], r["roc_auc"]) if r is not None
+                    else (name, 0.0, 0.0, 0.0, 0.0, nan))
         else:
             err = F.col("prediction") - F.col("label")
             agg = {r["__m"]: r for r in stacked.groupBy("__m").agg(
@@ -148,10 +151,14 @@ def benchmark_models(
                 F.sum(F.pow(err, 2)).alias("sse"),
                 (F.var_pop("label") * F.count("label")).alias("sst"),
             ).collect()}
+            nan = float("nan")
             for vid, name in enumerate(names):
-                r = agg[vid]
+                r = agg.get(vid)  # empty test frame -> no group rows
+                if r is None:
+                    rows.append((name, nan, nan, nan, nan))
+                    continue
                 r2 = round(1.0 - r["sse"] / r["sst"], 9) if r["sst"] \
-                    else float("nan")
+                    else nan
                 rows.append((name, r["rmse"], r["mae"], r["median_ae"], r2))
     tr.unpersist(); te.unpersist()
     if extra_models:

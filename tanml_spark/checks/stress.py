@@ -10,10 +10,12 @@ Spark-first: the model is a pyspark.ml PipelineModel/Transformer —
 scoring is ``model.transform`` (distributed, JVM), never a per-row
 Python call. The perturbed frame is a single ``withColumn`` whose
 row-subset selection is a deterministic hash predicate
-(pmod(xxhash64(id), 100) < fraction·100), NOT rng.choice — so results
-are identical at any parallelism and on resume. Each (feature, sign)
-variant is one lazy projection; Spark runs scoring+metrics per variant
-as one job over the same cached input.
+(pmod(xxhash64(id), 1000) < fraction·1000), NOT rng.choice — so
+results are identical at any parallelism and on resume. All (feature,
+sign) variants plus the baseline are lazy projections STACKED with a
+variant id and measured by ONE fused metric pass (r05) — see
+stress_test. The whole battery is oracle-gated end-to-end through a
+closed-form model (entry_queries4.q_stress_deltas).
 """
 
 from __future__ import annotations
@@ -116,7 +118,9 @@ def stress_test(
             vid: (r["accuracy"], nan if r["roc_auc"] is None else r["roc_auc"])
             for vid, r in by_vid.items()
         }
-        acc_base, auc_base = metric[0]
+        # empty input -> no fold rows; degrade like the old per-variant
+        # battery did (0.0 confusion metrics, NaN AUC), don't KeyError
+        acc_base, auc_base = metric.get(0, (0.0, nan))
     else:
         err = F.col("prediction") - F.col("label")
         agg = stacked.groupBy("__variant").agg(
@@ -126,12 +130,12 @@ def stress_test(
         ).collect()
         metric = {
             r["__variant"]: (
-                r["rmse"],
+                nan if r["rmse"] is None else r["rmse"],
                 round(1.0 - r["sse"] / r["sst"], 9) if r["sst"] else nan,
             )
             for r in agg
         }
-        rmse_base, r2_base = metric[0]
+        rmse_base, r2_base = metric.get(0, (nan, nan))
 
     results = []
     for vid, v in enumerate(variants):
@@ -140,7 +144,7 @@ def stress_test(
         col, sign = v
         lab = f"{'+' if sign > 0 else '-'}{round(epsilon * 100, 2)}%"
         if task_type == "classification":
-            acc, auc = metric[vid]
+            acc, auc = metric.get(vid, (0.0, nan))
             results.append({
                 "feature": col, "perturbation": lab,
                 "accuracy": round_half_up(acc, 4),
@@ -149,7 +153,7 @@ def stress_test(
                 "delta_auc": round_half_up(auc - auc_base, 4),
             })
         else:
-            rmse, r2 = metric[vid]
+            rmse, r2 = metric.get(vid, (nan, nan))
             results.append({
                 "feature": col, "perturbation": lab,
                 "rmse": round_half_up(rmse, 4),

@@ -137,16 +137,21 @@ def _leaf_table(tree: dict) -> list[dict]:
     leaves = []
 
     def walk(node: int, splits: list[tuple[int, float, bool]],
-             zfrac: dict[int, float], depth_feats: list[int]):
+             zfrac: dict[int, float]):
         if tree["cl"][node] < 0:
             feats = sorted(zfrac)
             if len(feats) > MAX_DEPTH:
                 raise ValueError(f"tree path has {len(feats)} distinct "
                                  f"features > MAX_DEPTH={MAX_DEPTH}")
+            z = [zfrac[u] for u in feats]
             leaves.append({
                 "value": float(tree["val"][node]),
                 "feats": feats,
-                "z": [zfrac[u] for u in feats],
+                "z": z,
+                # x-independent precomputes (review fix r05: these were
+                # rebuilt per (row, leaf)):
+                "pos": {u: i for i, u in enumerate(feats)},
+                "z_prod": float(np.prod(z)) if feats else 1.0,
                 "splits": list(splits),
             })
             return
@@ -158,10 +163,9 @@ def _leaf_table(tree: dict) -> list[dict]:
             r = tree["cover"][child] / c if c else 0.0
             z2 = dict(zfrac)
             z2[f] = z2.get(f, 1.0) * r
-            walk(int(child), splits + [(f, t, went_left)], z2,
-                 depth_feats)
+            walk(int(child), splits + [(f, t, went_left)], z2)
 
-    walk(0, [], {}, [])
+    walk(0, [], {})
     return leaves
 
 
@@ -174,26 +178,27 @@ def _shap_one_tree(leaves: list[dict], x: np.ndarray, n_features: int,
         feats = leaf["feats"]
         m = len(feats)
         z = leaf["z"]
+        pos = leaf["pos"]
         # o_u(x): x follows every u-split on this path
         o = [1.0] * m
-        pos = {u: i for i, u in enumerate(feats)}
         for f, t, went_left in leaf["splits"]:
             if (x[f] <= t) != went_left:
                 o[pos[f]] = 0.0
         v = leaf["value"]
-        base += v * float(np.prod(z)) if m else v
+        base += v * leaf["z_prod"] if m else v
         if m == 0:
             continue
         if m not in weight_cache:
-            weight_cache[m] = [
-                factorial(s) * factorial(m - s - 1) / factorial(m)
-                for s in range(m)
-            ]
-        wts = weight_cache[m]
+            weight_cache[m] = (
+                [factorial(s) * factorial(m - s - 1) / factorial(m)
+                 for s in range(m)],
+                [bin(mask).count("1") for mask in range(1 << m)],
+            )
+        wts, popcnt = weight_cache[m]
         # P(S) over all subsets of this leaf's path features
         nsub = 1 << m
         P = np.empty(nsub)
-        P[0] = float(np.prod(z))
+        P[0] = leaf["z_prod"]
         for mask in range(1, nsub):
             low = mask & -mask
             i = low.bit_length() - 1
@@ -204,7 +209,6 @@ def _shap_one_tree(leaves: list[dict], x: np.ndarray, n_features: int,
                 for i in range(m):
                     p *= o[i] if (mask >> i) & 1 else z[i]
                 P[mask] = p
-        popcnt = np.array([bin(mask).count("1") for mask in range(nsub)])
         for i in range(m):
             bit = 1 << i
             for mask in range(nsub):
@@ -215,12 +219,10 @@ def _shap_one_tree(leaves: list[dict], x: np.ndarray, n_features: int,
     return phi, base
 
 
-def tree_shap_matrix(trees: list[dict], weights: list[float],
-                     X: np.ndarray) -> tuple[np.ndarray, float]:
-    """(phi matrix [n, k], base value) for an ensemble — per-tree exact
-    values scaled by tree weights (Shapley linearity)."""
+def _shap_from_leaf_tables(leaf_tables: list[list[dict]],
+                           weights: list[float],
+                           X: np.ndarray) -> tuple[np.ndarray, float]:
     n, k = X.shape
-    leaf_tables = [_leaf_table(t) for t in trees]
     cache: dict = {}
     phi = np.zeros((n, k))
     base = 0.0
@@ -231,6 +233,14 @@ def tree_shap_matrix(trees: list[dict], weights: list[float],
             if r == 0:
                 base += w * b
     return phi, base
+
+
+def tree_shap_matrix(trees: list[dict], weights: list[float],
+                     X: np.ndarray) -> tuple[np.ndarray, float]:
+    """(phi matrix [n, k], base value) for an ensemble — per-tree exact
+    values scaled by tree weights (Shapley linearity)."""
+    return _shap_from_leaf_tables([_leaf_table(t) for t in trees],
+                                  weights, X)
 
 
 # ------------------------------------------------------------- Spark surface
@@ -249,7 +259,10 @@ def tree_shap_values(
     are explained in Arrow batches; no sampling error, no RNG."""
     trees, weights, _scale, _bias = extract_model_trees(model)
     spark = test.sparkSession
-    bc = spark.sparkContext.broadcast((trees, list(weights)))
+    # broadcast the PRECOMPUTED leaf tables, not raw node arrays —
+    # rebuilding them per Arrow batch was pure rework (review fix r05)
+    bc = spark.sparkContext.broadcast(
+        ([_leaf_table(t) for t in trees], list(weights)))
     k = len(feature_cols)
 
     sel_cols = ([id_col] if id_col else []) + feature_cols
@@ -266,12 +279,12 @@ def tree_shap_values(
 
     def explain(batches):
         import pandas as pd
-        trees_, weights_ = bc.value
+        leaf_tables, weights_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
-            phi, base = tree_shap_matrix(trees_, weights_, X)
+            phi, base = _shap_from_leaf_tables(leaf_tables, weights_, X)
             out = []
             for i in range(len(X)):
                 for j, fname in enumerate(feature_cols):

@@ -37,7 +37,10 @@ _EPS = 0.05  # ±5% perturbation — large enough for nonzero 4dp deltas
 def q_stress_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL stress battery (stacked-variant single pass) over a
     closed-form model on lineitem: x1 = quantity, x2 = discount·100,
-    y = extendedprice > 30000. The row pick is an md5-prefix threshold
+    y = quantity > 25 (derivable from x1 BY DESIGN — the label must
+    correlate with the score for nonzero AUC deltas; y is computed on
+    the UNPERTURBED frame, like a real label). The row pick is an
+    md5-prefix threshold
     (portable across engines; ~20% of rows) instead of the default
     xxhash64 — same semantics, oracle-recomputable."""
     from tanml_spark.checks.stress import stress_test

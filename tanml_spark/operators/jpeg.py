@@ -126,16 +126,26 @@ class _BitReader:
     """MSB-first reader over the entropy-coded segment, handling 0xFF00
     byte stuffing and stopping at restart/terminating markers."""
 
+    MAX_PAD_BYTES = 2  # the final MCU may need a few flush bits; more
+                       # synthetic padding means the stream is truncated
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.padded = 0
 
     def _fill(self):
         while self.nbits <= 24:
             if self.pos >= len(self.data):
-                self.acc = (self.acc << 8) | 0  # pad past-the-end with 0s
+                # review fix r05: unbounded zero padding let a cut-off
+                # file decode to FABRICATED pixels with decode_ok=True;
+                # beyond a flush byte or two it must raise instead
+                self.padded += 1
+                if self.padded > self.MAX_PAD_BYTES:
+                    raise ValueError("truncated JPEG stream")
+                self.acc = (self.acc << 8) | 0
                 self.nbits += 8
                 continue
             b = self.data[self.pos]
@@ -210,6 +220,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        if pos + 2 + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
         body = data[pos + 4: pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -436,16 +448,19 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444",
             p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge"),
             ch, cv, tq))
 
-    qy = np.zeros(64)
-    qy[ZIGZAG] = QUANT_LUMA
-    qc = np.zeros(64)
-    qc[ZIGZAG] = QUANT_CHROMA
-    quants_nat = [qy.reshape(8, 8), qc.reshape(8, 8)]
+    # QUANT_* are written above in NATURAL row-major order (Annex K
+    # presentation); the DQT segment must carry them in ZIGZAG order
+    # (T.81 B.2.4.1) — review fix r05: the first cut wrote natural
+    # bytes and scrambled the matrix, which roundtripped internally but
+    # would dequantize wrong in any external decoder.
+    quants_nat = [QUANT_LUMA.reshape(8, 8).astype(np.float64),
+                  QUANT_CHROMA.reshape(8, 8).astype(np.float64)]
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA.astype(np.uint8)))
+    out += _seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)))
     if not gray:
-        out += _seg(0xDB, bytes([0x01]) + bytes(QUANT_CHROMA.astype(np.uint8)))
+        out += _seg(0xDB, bytes([0x01])
+                    + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)))
     nc = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for i, (_p, ch, cv, tq) in enumerate(planes):

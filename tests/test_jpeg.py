@@ -19,31 +19,31 @@ from tanml_spark.operators.multimodal import decode_bmp, encode_bmp
 # flat 8x8 gray level 200 — quantization-exact: DC = round(8·72/16) = 36,
 # decoded pixel = 36·16/8 + 128 = 200
 GOLDEN_FLAT200 = bytes.fromhex(
-    "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11"
-    "161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f"
-    "6270646763ffc0000b080008000801011100ffc4001f00000105010101010101000"
-    "00000000000000102030405060708090a0bffc400b5100002010303020403050504"
-    "040000017d01020300041105122131410613516107227114328191a1082342b1c1"
-    "1552d1f02433627282090a161718191a25262728292a3435363738393a43444546"
-    "4748494a535455565758595a636465666768696a737475767778797a8384858687"
-    "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4"
-    "c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8"
-    "f9faffda0008010100003f00e92bffd9"
+    "ffd8ffdb004300100b0c0e0c0a100e0d0e1211101318281a181616183123251d28"
+    "3a333d3c3933383740485c4e404457453738506d51575f626768673e4d71797064"
+    "785c656763ffc0000b080008000801011100ffc4001f0000010501010101010100"
+    "000000000000000102030405060708090a0bffc400b51000020103030204030505"
+    "04040000017d01020300041105122131410613516107227114328191a1082342b1"
+    "c11552d1f02433627282090a161718191a25262728292a3435363738393a434445"
+    "464748494a535455565758595a636465666768696a737475767778797a83848586"
+    "8788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3"
+    "c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7"
+    "f8f9faffda0008010100003f00e92bffd9"
 )
 # 16x16 two-tone (top half 50, bottom half 150): both levels
 # quantization-exact; mean = 100/255. Exercises DC differential coding
 # across 4 blocks.
 GOLDEN_TWOTONE = bytes.fromhex(
-    "ffd8ffdb004300100b0a101828333d0c0c0e131a3a3c370e0d1018283945380e11"
-    "161d3357503e12162538446d674d182337405168715c31404e5767797865485c5f"
-    "6270646763ffc0000b080010001001011100ffc4001f00000105010101010101000"
-    "00000000000000102030405060708090a0bffc400b5100002010303020403050504"
-    "040000017d01020300041105122131410613516107227114328191a1082342b1c1"
-    "1552d1f02433627282090a161718191a25262728292a3435363738393a43444546"
-    "4748494a535455565758595a636465666768696a737475767778797a8384858687"
-    "88898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4"
-    "c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8"
-    "f9faffda0008010100003f00e628aeca8affd9"
+    "ffd8ffdb004300100b0c0e0c0a100e0d0e1211101318281a181616183123251d28"
+    "3a333d3c3933383740485c4e404457453738506d51575f626768673e4d71797064"
+    "785c656763ffc0000b080010001001011100ffc4001f0000010501010101010100"
+    "000000000000000102030405060708090a0bffc400b51000020103030204030505"
+    "04040000017d01020300041105122131410613516107227114328191a1082342b1"
+    "c11552d1f02433627282090a161718191a25262728292a3435363738393a434445"
+    "464748494a535455565758595a636465666768696a737475767778797a83848586"
+    "8788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3"
+    "c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7"
+    "f8f9faffda0008010100003f00e628aeca8affd9"
 )
 
 
@@ -133,3 +133,35 @@ def test_spark_pipeline_decodes_jpeg(spark):
         w, h, luma = decode_jpeg(bytes(jpegs[mid]["data"]))
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_luma"] - luma) < 1e-12
+
+
+def test_dqt_bytes_are_zigzag_ordered():
+    """T.81 B.2.4.1: the DQT segment carries the table in ZIGZAG order.
+    Natural[1]=11 and natural[8]=12 swap positions in zigzag (zz[1]=nat
+    idx 1? no — zz[1]=11, zz[2]=12): assert the emitted bytes equal
+    QUANT_LUMA permuted by ZIGZAG, not the natural sequence (review fix
+    r05: the first cut wrote natural bytes, which any external decoder
+    would de-zigzag into a scrambled matrix)."""
+    from tanml_spark.operators.jpeg import QUANT_LUMA, ZIGZAG
+
+    data = encode_jpeg(np.full((8, 8), 128, dtype=np.uint8))
+    i = data.find(b"\xff\xdb")
+    tbl = data[i + 5: i + 5 + 64]
+    assert list(tbl) == list(QUANT_LUMA[ZIGZAG])
+    assert list(tbl) != list(QUANT_LUMA)  # zigzag really permutes
+
+
+def test_truncated_stream_raises_not_fabricates():
+    """A file cut off mid-scan must raise (→ decode_ok=False upstream),
+    never return fabricated pixels (review fix r05: unbounded zero
+    padding used to complete all MCUs silently)."""
+    img = np.linspace(0, 255, 24 * 40).reshape(24, 40).astype(np.uint8)
+    data = encode_jpeg(img)
+    with pytest.raises(ValueError):        # cut inside the header segments
+        decode_jpeg(data[: len(data) // 2])
+    with pytest.raises(ValueError):        # cut inside the entropy scan
+        decode_jpeg(data[: len(data) - 40])
+    # cutting just the EOI marker (2 bytes) still decodes — the final
+    # MCU only ever needs flush bits
+    w, h, _ = decode_jpeg(data[:-2])
+    assert (w, h) == (40, 24)

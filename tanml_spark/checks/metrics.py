@@ -321,7 +321,13 @@ def _cv_driver_from_condensed(cond: DataFrame, budget: int):
 
     rows = []
     for f in pdf["fold"].drop_duplicates().tolist():
-        sub = pdf[pdf["fold"].isna()] if pd.isna(f) else pdf[pdf["fold"] == f]
+        if pd.isna(f):
+            # a NULL fold never survives the distributed plan (the
+            # rank join's equi-keys are null-unsafe, exactly like the
+            # pre-fusion battery's out.join(ranked, "fold")) — mirror
+            # that here or the two paths diverge on null fold ids
+            continue
+        sub = pdf[pdf["fold"] == f]
         cell = {c: sub[c].sum(min_count=1) for c in ("tp", "fp", "fn", "tn")}
         cell = {k: (None if pd.isna(v) else int(v)) for k, v in cell.items()}
         tp, fp, fn, tn = cell["tp"], cell["fp"], cell["fn"], cell["tn"]

@@ -200,3 +200,39 @@ def test_repetition_stats_property(spark, docs):
         assert abs(r["top_gram_frac"] - max(c.values()) / len(grams)) < 1e-9
         assert 0.0 <= r["dup_gram_frac"] <= 1.0
         assert (r["dup_gram_frac"] == 0.0) == (len(c) == len(grams))
+
+
+@st.composite
+def pred_tables(draw):
+    """Arbitrary small prediction tables with NULL holes in every
+    column and heavy score ties."""
+    n = draw(st.integers(min_value=0, max_value=50))
+    mk = lambda strat: draw(st.lists(strat, min_size=n, max_size=n))
+    folds = mk(st.one_of(st.none(), st.integers(0, 2)))
+    ys = mk(st.one_of(st.none(), st.integers(0, 1)))
+    ps = mk(st.one_of(st.none(), st.integers(0, 1)))
+    # few distinct scores -> ties; include None
+    ss = mk(st.one_of(st.none(), st.sampled_from([0.1, 0.25, 0.5, 0.5,
+                                                  0.75, 0.9])))
+    return list(zip(folds, ys, ps, ss))
+
+
+@given(rows=pred_tables())
+@SETTINGS
+def test_cv_battery_paths_agree_on_arbitrary_tables(spark, rows):
+    """The r05 fused cv battery's two execution paths — the limit-probe
+    driver-numpy fast path and the single-consumer distributed plan —
+    must agree byte-for-byte on ARBITRARY null patterns, tie
+    structures, degenerate folds (all-null scores, single-class,
+    empty)."""
+    from tanml_spark.checks.metrics import cv_fold_metrics
+
+    df = spark.createDataFrame(
+        rows, "fold int, label int, prediction int, score double")
+    key = lambda t: tuple((v is None, v) for v in t)  # None-safe sort
+    fast = sorted(map(tuple, cv_fold_metrics(
+        df, 3, score_col="score", fold_col="fold").collect()), key=key)
+    dist = sorted(map(tuple, cv_fold_metrics(
+        df, 3, score_col="score", fold_col="fold",
+        driver_budget=0).collect()), key=key)
+    assert fast == dist

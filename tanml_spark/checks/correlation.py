@@ -167,38 +167,35 @@ def rank_transform(
     max_broadcast: int = RANK_BROADCAST_MAX,
 ) -> DataFrame:
     """Replace columns by average ranks (Spearman prep). Two plans,
-    picked by one scan-only approx_count_distinct pre-pass (the
-    psi_table mode="auto" precedent):
+    picked by a one-action LIMIT PROBE of the condensed counts (the
+    KS/PSI/cv-battery pattern — r05: this replaces the separate
+    approx_count_distinct pre-pass, saving a full scan, and makes the
+    budget decision EXACT instead of sketched):
 
-    - TOTAL distinct count (summed over columns) <= max_broadcast:
-      condensed per-(column, value)
-      counts -> driver rank maps (cumsum arithmetic on the condensed
-      table only — never row-level data) -> broadcast numpy arrays ->
-      one Arrow ``mapInPandas`` searchsorted lookup. ONE shuffle, no
-      join, no pivot.
-    - else: the fully distributed path below — bounded memory at any
-      cardinality.
+    - condensed per-(column, value) table fits ``max_broadcast`` rows:
+      the probe result IS the complete table -> driver rank maps
+      (cumsum arithmetic on the condensed table only — never row-level
+      data) -> broadcast numpy arrays -> one Arrow ``mapInPandas``
+      searchsorted lookup. ONE shuffle, no join, no pivot.
+    - probe truncates (or a column mixes NULL and NaN): the fully
+      distributed path below — bounded memory at any cardinality.
 
     Both paths produce identical ranks (tests/test_prefix.py asserts
     equality on a mixed fixture)."""
-    est = df.agg(
-        *[F.approx_count_distinct(c).alias(c) for c in columns]
-    ).collect()[0]
-    # the fast path collects the condensed counts of ALL columns in one
-    # toPandas, so the budget bounds the SUM of per-column estimates —
-    # a per-column max would let k near-budget columns multiply the
-    # driver footprint k-fold.
-    if sum(est[c] or 0 for c in columns) <= max_broadcast:
-        out = _rank_transform_broadcast(df, columns)
-        if out is not None:
-            return out
+    out = _rank_transform_broadcast(df, columns, budget=max_broadcast)
+    if out is not None:
+        return out
     return _rank_transform_distributed(df, columns)
 
 
-def _rank_transform_broadcast(df: DataFrame, columns: list[str]):
-    """Broadcast-rank fast path; returns None when a column mixes NULL
-    and NaN (indistinguishable inside Arrow batches — the distributed
-    path keeps them separate)."""
+def _rank_transform_broadcast(df: DataFrame, columns: list[str],
+                              budget: int = RANK_BROADCAST_MAX):
+    """Broadcast-rank fast path; returns None when the condensed probe
+    truncates past ``budget`` rows (the budget bounds the TOTAL across
+    columns — a per-column cap would let k near-budget columns multiply
+    the driver footprint k-fold) or when a column mixes NULL and NaN
+    (indistinguishable inside Arrow batches — the distributed path
+    keeps them separate)."""
     import pandas as pd
 
     pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
@@ -212,8 +209,11 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str]):
     cond = (
         melted.groupBy("column", "vn", "vv")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(budget + 1)
         .toPandas()
     )
+    if len(cond) > budget:
+        return None
     maps: dict[str, tuple] = {}
     for c in columns:
         sub = cond[cond["column"] == c].sort_values(

@@ -185,12 +185,34 @@ def score_cutpoints(df: DataFrame, score_col: str) -> list[float]:
 
 
 def roc_auc(df: DataFrame, label_col: str = "label",
-            score_col: str = "score") -> float:
-    """Distributed tie-averaged ROC-AUC (== sklearn.roc_auc_score) from
-    condensed per-score counts — no row-level sort."""
+            score_col: str = "score",
+            driver_budget: int | None = None) -> float:
+    """Tie-averaged ROC-AUC (== sklearn.roc_auc_score) from condensed
+    per-score counts — no row-level sort. A limit probe of the
+    condensed table (r05, the KS/PSI/cv-battery pattern) finishes on
+    the driver in one action when the score cardinality fits the
+    budget; the range-partitioned distributed plan remains past it."""
+    import numpy as np
+
+    if driver_budget is None:
+        driver_budget = CV_DRIVER_MAX
+    cond = condensed_scores(df, label_col, score_col)
+    if driver_budget:
+        pdf = cond.limit(driver_budget + 1).toPandas()
+        if len(pdf) <= driver_budget:
+            m = pdf.sort_values("s", na_position="last")  # NaN last, like Spark
+            npos = m["n_pos"].to_numpy(np.float64)
+            nneg = m["n_neg"].to_numpy(np.float64)
+            P, N = npos.sum(), nneg.sum()
+            if not P or not N:
+                return float("nan")
+            ns = npos + nneg
+            cum_le = np.cumsum(ns)
+            avg_rank = cum_le - ns + (ns + 1) / 2.0
+            rank_pos = float((npos * avg_rank).sum())
+            return round_half_up((rank_pos - P * (P + 1) / 2.0) / (P * N), 9)
     row = rank_metrics_from_condensed(
-        condensed_scores(df, label_col, score_col),
-        cutpoints=score_cutpoints(df, score_col),
+        cond, cutpoints=score_cutpoints(df, score_col),
     ).collect()
     if not row or not row[0]["n_pos"] or not row[0]["n_neg"]:
         return float("nan")

@@ -52,6 +52,9 @@ def preds(spark):
 def test_classification_metrics_match_numpy(preds):
     df, y, p, s = preds
     got = classification_metrics(df, score_col="score")
+    # r05: roc_auc's limit-probe driver fast path == distributed plan
+    assert roc_auc(df, score_col="score") == \
+        roc_auc(df, score_col="score", driver_budget=0)
     tp = ((y == 1) & (p == 1)).sum(); fp = ((y == 0) & (p == 1)).sum()
     fn = ((y == 1) & (p == 0)).sum(); tn = ((y == 0) & (p == 0)).sum()
     assert got["accuracy"] == round((tp + tn) / len(y), 9)

@@ -134,6 +134,9 @@ def main() -> None:
         f.write(render_html(summary, collect_plots(args.run_dir)))
     with open(os.path.join(args.run_dir, "report.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
+    from tanml_spark.docx_report import write_validation_docx
+
+    write_validation_docx(summary, os.path.join(args.run_dir, "report.docx"))
     print(json.dumps({
         "verdict_rows": n,
         "suite": {k: v.status.value for k, v in results.items()},

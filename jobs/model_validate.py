@@ -143,7 +143,18 @@ def main() -> int:
     ).toPandas()
 
     # ---- plots ----
+    # The heavy reductions run ONCE per figure (plots.py plot-data
+    # functions, distributed); both renderers consume the same driver-
+    # side points: SVG for report.html, and — when the .docx
+    # deliverable is requested — PNG via the raster twin
+    # (tanml_spark/raster.py) for DrawingML embedding, matching the
+    # reference's add_picture figures (generators.py:538-559).
     from tanml_spark import plots as P
+
+    want_docx = "docx" in args.report.split(",")
+    if want_docx:
+        from tanml_spark import raster as RZ
+    figures: dict[str, bytes] = {}
 
     os.makedirs(os.path.join(args.run_dir, "plots"), exist_ok=True)
 
@@ -153,20 +164,31 @@ def main() -> int:
 
     if args.task == "classification":
         fpr, tpr = P.roc_plot_data(score(test))
+        roc_title = f"ROC curve (test, AUC {m_test['roc_auc']:.3f})"
         put("roc_test.svg", P.svg_line_chart(
-            {"ROC": (fpr, tpr)},
-            f"ROC curve (test, AUC {m_test['roc_auc']:.3f})",
+            {"ROC": (fpr, tpr)}, roc_title,
             "false positive rate", "true positive rate", diagonal=True))
+        if want_docx:
+            figures["roc_test"] = RZ.png_line_chart(
+                {"ROC": (fpr, tpr)}, roc_title,
+                "false positive rate", "true positive rate", diagonal=True)
     else:
         edges, counts = P.residual_hist_data(score(test))
         put("residuals_test.svg", P.svg_histogram(
             edges, counts, "Residual distribution (test)", "residual"))
+        if want_docx:
+            figures["residuals_test"] = RZ.png_histogram(
+                edges, counts, "Residual distribution (test)", "residual")
     ecdfs = P.ecdf_plot_data_many(train, test, feats[:3])
     for c, series in ecdfs.items():
         if series:
             put(f"ecdf_{c}.svg", P.svg_line_chart(
                 series, f"ECDF: {c} (train vs test)", c,
                 "cumulative fraction"))
+            if want_docx:
+                figures[f"ecdf_{c}"] = RZ.png_line_chart(
+                    series, f"ECDF: {c} (train vs test)", c,
+                    "cumulative fraction")
 
     shap_summary_rows = None
     sv = None
@@ -188,8 +210,12 @@ def main() -> int:
         from tanml_spark.checks.explainability import shap_summary as shap_sum
 
         sv = sv.cache()
+        bee = P.shap_beeswarm_data(sv)
         put("shap_beeswarm.svg", P.svg_beeswarm(
-            P.shap_beeswarm_data(sv), "SHAP attributions (test sample)"))
+            bee, "SHAP attributions (test sample)"))
+        if want_docx:
+            figures["shap_beeswarm"] = RZ.png_beeswarm(
+                bee, "SHAP attributions (test sample)")
         shap_summary_rows = shap_sum(sv).toPandas().to_dict("records")
 
     # ---- narratives + report ----
@@ -252,12 +278,14 @@ def main() -> int:
                  + "\n".join(body) + "</body></html>\n")
 
     # docx: the reference's deliverable format (generators.py) — same
-    # content model, stdlib OOXML writer
-    if "docx" in args.report.split(","):
+    # content model, stdlib OOXML writer, figures embedded as PNG
+    # DrawingML parts (r06: reference add_picture parity)
+    if want_docx:
         from tanml_spark.docx_report import write_model_docx
 
         write_model_docx(metrics_doc,
-                         os.path.join(args.run_dir, "report.docx"))
+                         os.path.join(args.run_dir, "report.docx"),
+                         figures=figures)
 
     print(json.dumps({
         "run_dir": args.run_dir,

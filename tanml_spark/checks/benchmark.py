@@ -157,8 +157,13 @@ def benchmark_models(
                 if r is None:
                     rows.append((name, nan, nan, nan, nan))
                     continue
-                r2 = round(1.0 - r["sse"] / r["sst"], 9) if r["sst"] \
-                    else nan
+                # one rounding convention for the whole row: F.round is
+                # HALF_UP, so r2 must use round_half_up too — Python's
+                # banker's round diverges at exact 9dp midpoints
+                # (r06 ADVICE fix)
+                from tanml_spark.checks.metrics import round_half_up
+                r2 = round_half_up(1.0 - r["sse"] / r["sst"], 9) \
+                    if r["sst"] else nan
                 rows.append((name, r["rmse"], r["mae"], r["median_ae"], r2))
     tr.unpersist(); te.unpersist()
     if extra_models:

@@ -181,22 +181,31 @@ def rank_transform(
       distributed path below — bounded memory at any cardinality.
 
     Both paths produce identical ranks (tests/test_prefix.py asserts
-    equality on a mixed fixture)."""
-    out = _rank_transform_broadcast(df, columns, budget=max_broadcast)
+    equality on a mixed fixture).
+
+    r06 (ADVICE): the condensed counts frame is persisted BEFORE the
+    probe, so when the probe overflows the same materialized counts
+    feed the distributed path's rank arithmetic — the melt+groupBy
+    shuffle never runs twice."""
+    out, cond = _rank_transform_broadcast(df, columns, budget=max_broadcast)
     if out is not None:
         return out
-    return _rank_transform_distributed(df, columns)
+    return _rank_transform_distributed(df, columns, counts=cond)
 
 
 def _rank_transform_broadcast(df: DataFrame, columns: list[str],
                               budget: int = RANK_BROADCAST_MAX):
-    """Broadcast-rank fast path; returns None when the condensed probe
-    truncates past ``budget`` rows (the budget bounds the TOTAL across
-    columns — a per-column cap would let k near-budget columns multiply
-    the driver footprint k-fold) or when a column mixes NULL and NaN
-    (indistinguishable inside Arrow batches — the distributed path
-    keeps them separate)."""
+    """Broadcast-rank fast path. Returns ``(result, None)`` on success,
+    or ``(None, cond_df)`` when the condensed table exceeds ``budget``
+    rows (the budget bounds the TOTAL across columns — a per-column cap
+    would let k near-budget columns multiply the driver footprint
+    k-fold) or when a column mixes NULL and NaN (indistinguishable
+    inside Arrow batches — the distributed path keeps them separate).
+    ``cond_df`` is the PERSISTED condensed counts frame so the caller's
+    distributed fallback reuses the shuffle instead of redoing it
+    (r06 ADVICE fix)."""
     import pandas as pd
+    from pyspark import StorageLevel
 
     pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
     melted = df.select(
@@ -206,14 +215,16 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str],
         F.col("value").isNotNull().cast("int").alias("vn"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("vv"),
     )
-    cond = (
+    cond_df = (
         melted.groupBy("column", "vn", "vv")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .limit(budget + 1)
-        .toPandas()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if len(cond) > budget:
-        return None
+    # count() materializes the cache exactly once; both branches below
+    # read from it, so the heavy melt+groupBy shuffle never runs twice.
+    if cond_df.count() > budget:
+        return None, cond_df
+    cond = cond_df.toPandas()
     maps: dict[str, tuple] = {}
     for c in columns:
         sub = cond[cond["column"] == c].sort_values(
@@ -222,7 +233,7 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str],
         has_null = bool((sub["vn"] == 0).any())
         has_nan = bool(((sub["vn"] == 1) & sub["vv"].isna()).any())
         if has_null and has_nan:
-            return None
+            return None, cond_df
         cum = sub["cnt"].cumsum().to_numpy(dtype=np.float64)
         cnt = sub["cnt"].to_numpy(dtype=np.float64)
         rank = cum - cnt + (cnt + 1) / 2.0
@@ -237,6 +248,7 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str],
         keep = (vn == 1) & ~np.isnan(vv)
         maps[c] = (vv[keep], rank[keep], mask_rank)
 
+    cond_df.unpersist()
     bc = df.sparkSession.sparkContext.broadcast(maps)
     schema = ", ".join(f"`{c}` double" for c in columns)
 
@@ -255,10 +267,12 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str],
             yield pd.DataFrame(out)
 
     casted = df.select(*[F.col(c).cast("double").alias(c) for c in columns])
-    return casted.mapInPandas(assign, schema)
+    return casted.mapInPandas(assign, schema), None
 
 
-def _rank_transform_distributed(df: DataFrame, columns: list[str]) -> DataFrame:
+def _rank_transform_distributed(
+    df: DataFrame, columns: list[str], counts: DataFrame | None = None,
+) -> DataFrame:
     """Replace columns by average ranks (Spearman prep) with NO global
     row-level sort AND no per-column single-task window: melt the k
     columns to (rid, column, value), condense to per-(column, value)
@@ -302,9 +316,14 @@ def _rank_transform_distributed(df: DataFrame, columns: list[str]) -> DataFrame:
         F.col("value").isNotNull().cast("int").alias("vn"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("vv"),
     ).repartition("column", "vn", "vv")
-    counts = narrow.groupBy("column", "vn", "vv").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    if counts is None:
+        # standalone invocation: condense here (reuses narrow's
+        # exchange via Catalyst exchange reuse)
+        counts = narrow.groupBy("column", "vn", "vv").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    # else: the caller's persisted probe frame IS the condensed table —
+    # the melt+groupBy shuffle already ran once and is read from cache
     cum = partitioned_cumsum(
         counts,
         ["vn", "vv"],

@@ -466,6 +466,19 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
             F.count(brier_term).alias("b_cnt"),
             F.sum(ll_term).alias("ll_sum"),
         )
+        # Materialize the condensed table ONCE (executor-local,
+        # MEMORY_AND_DISK — same storage class as the shuffle files it
+        # replaces), BEFORE the driver probe (r06 ADVICE fix: probing
+        # the raw plan meant an over-budget probe threw its shuffle
+        # away and the distributed path re-ran it — now both the probe
+        # and the fallback read this one materialization). It also has
+        # two distributed-path consumers (bucket totals and the local
+        # rank window) that Catalyst column-prunes into *different*
+        # aggregates, defeating exchange reuse, and it lets the bucket
+        # cutpoints come from the condensed table itself (a tiny
+        # collect) instead of a third raw scan. On a multi-executor
+        # cluster prefer reliable checkpoint() for fault tolerance.
+        cond = cond.localCheckpoint(eager=True)
         # Driver fast path (the r04 KS/PSI limit-probe pattern,
         # drift.py:362): ONE CollectLimit action probes the condensed
         # table; a complete probe IS the whole sufficient statistic, so
@@ -475,17 +488,6 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
             out = _cv_driver_from_condensed(cond, driver_budget)
             if out is not None:
                 return out
-        # Distributed path: materialize the condensed table ONCE
-        # (executor-local, MEMORY_AND_DISK — same storage class as the
-        # shuffle files it replaces). It has two downstream consumers
-        # (bucket totals and the local rank window) that Catalyst
-        # column-prunes into *different* aggregates, defeating exchange
-        # reuse — without this barrier the raw prediction table is
-        # scanned and condensed twice. Also lets the bucket cutpoints
-        # come from the condensed table itself (a tiny collect) instead
-        # of a third raw scan. On a multi-executor cluster prefer
-        # reliable checkpoint() for fault tolerance.
-        cond = cond.localCheckpoint(eager=True)
         # Exclusion of NULL-score rows from the RANK battery is a
         # projection (zeroed counts), never a filter — a filter would
         # be pushed below the condensed aggregate into the scan. A

@@ -272,8 +272,15 @@ def tree_shap_values(
     )
     rows = test.select(*sel_cols).na.drop().orderBy(order_key).limit(test_n)
 
+    if id_col:
+        # carry the id column through at its ACTUAL type — hardcoding
+        # long crashed the Arrow batch for string/decimal ids
+        id_type = test.schema[id_col].dataType.simpleString()
+        id_field = f"`{id_col}` {id_type}, "
+    else:
+        id_field = ""
     out_schema = (
-        (f"{id_col} long, " if id_col else "")
+        id_field
         + "feature string, x_value double, shap_value double, base_value double"
     )
 
@@ -292,7 +299,7 @@ def tree_shap_values(
                            "shap_value": float(phi[i, j]),
                            "base_value": float(base)}
                     if id_col:
-                        rec[id_col] = int(pdf.iloc[i][id_col])
+                        rec[id_col] = pdf.iloc[i][id_col]
                     out.append(rec)
             yield pd.DataFrame(out)
 

@@ -28,6 +28,7 @@ _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
 <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
 <Default Extension="xml" ContentType="application/xml"/>
+<Default Extension="png" ContentType="image/png"/>
 <Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
 <Override PartName="/word/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.styles+xml"/>
 </Types>
@@ -39,11 +40,14 @@ _RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </Relationships>
 """
 
-_DOC_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+_DOC_RELS_HEAD = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
-</Relationships>
 """
+
+_REL_IMAGE = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+              "relationships/image")
+_EMU_PER_PX = 9525  # 914400 EMU/inch at 96 px/inch
 
 _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <w:styles xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
@@ -60,7 +64,15 @@ _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </w:styles>
 """
 
-_W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_W = (
+    'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" '
+    'xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/'
+    'wordprocessingDrawing" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+    'relationships" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+    'xmlns:pic="http://schemas.openxmlformats.org/drawingml/2006/picture"'
+)
 
 
 def _run(text: str, bold: bool = False, color: str | None = None) -> str:
@@ -79,6 +91,7 @@ class DocxBuilder:
 
     def __init__(self) -> None:
         self._body: list[str] = []
+        self._media: list[bytes] = []  # word/media/image{i+1}.png parts
 
     def heading(self, text: str, level: int = 1) -> "DocxBuilder":
         style = f"Heading{min(max(level, 1), 2)}"
@@ -139,6 +152,39 @@ class DocxBuilder:
         self._body.append("".join(parts))
         return self
 
+    def image(self, png_bytes: bytes, px_w: int, px_h: int,
+              caption: str | None = None) -> "DocxBuilder":
+        """Embed a PNG as an inline DrawingML picture displayed at
+        ``px_w`` x ``px_h`` CSS pixels (the part itself may be a 2x
+        supersample for crispness) — the reference generator's
+        ``add_picture`` analog (ui/reports/generators.py:253)."""
+        self._media.append(png_bytes)
+        n = len(self._media)  # image part number AND docPr id
+        rid = f"rIdImg{n}"
+        cx, cy = px_w * _EMU_PER_PX, px_h * _EMU_PER_PX
+        self._body.append(
+            f'<w:p><w:r><w:drawing>'
+            f'<wp:inline distT="0" distB="0" distL="0" distR="0">'
+            f'<wp:extent cx="{cx}" cy="{cy}"/>'
+            f'<wp:docPr id="{n}" name="plot{n}"/>'
+            f'<a:graphic><a:graphicData uri="http://schemas.'
+            f'openxmlformats.org/drawingml/2006/picture">'
+            f'<pic:pic><pic:nvPicPr>'
+            f'<pic:cNvPr id="{n}" name="plot{n}.png"/><pic:cNvPicPr/>'
+            f'</pic:nvPicPr>'
+            f'<pic:blipFill><a:blip r:embed="{rid}"/>'
+            f'<a:stretch><a:fillRect/></a:stretch></pic:blipFill>'
+            f'<pic:spPr><a:xfrm><a:off x="0" y="0"/>'
+            f'<a:ext cx="{cx}" cy="{cy}"/></a:xfrm>'
+            f'<a:prstGeom prst="rect"><a:avLst/></a:prstGeom></pic:spPr>'
+            f'</pic:pic></a:graphicData></a:graphic>'
+            f'</wp:inline></w:drawing></w:r></w:p>'
+        )
+        if caption:
+            self._body.append(
+                f'<w:p>{_run(caption, color="52514E")}</w:p>')
+        return self
+
     def xml(self) -> str:
         return (
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
@@ -148,12 +194,21 @@ class DocxBuilder:
         )
 
     def save(self, path: str) -> str:
+        rels = [_DOC_RELS_HEAD]
+        for i in range(len(self._media)):
+            rels.append(
+                f'<Relationship Id="rIdImg{i + 1}" Type="{_REL_IMAGE}"'
+                f' Target="media/image{i + 1}.png"/>\n'
+            )
+        rels.append("</Relationships>\n")
         with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
             z.writestr("[Content_Types].xml", _CONTENT_TYPES)
             z.writestr("_rels/.rels", _RELS)
-            z.writestr("word/_rels/document.xml.rels", _DOC_RELS)
+            z.writestr("word/_rels/document.xml.rels", "".join(rels))
             z.writestr("word/styles.xml", _STYLES)
             z.writestr("word/document.xml", self.xml())
+            for i, png in enumerate(self._media):
+                z.writestr(f"word/media/image{i + 1}.png", png)
         return path
 
 
@@ -192,10 +247,15 @@ def write_validation_docx(summary: dict, path: str) -> str:
     return d.save(path)
 
 
-def write_model_docx(metrics_doc: dict, path: str) -> str:
+def write_model_docx(metrics_doc: dict, path: str,
+                     figures: dict[str, bytes] | None = None,
+                     figure_px: tuple[int, int] = (460, 280)) -> str:
     """The model-validation .docx from model_validate.py's metrics doc
     (findings, train/test batteries, stress deltas, importance, drift,
-    benchmark) — section-for-section the reference generator's layout."""
+    benchmark) — section-for-section the reference generator's layout.
+    ``figures`` maps caption -> PNG bytes (tanml_spark/raster.py
+    renders); they are embedded in a Diagnostics section like the
+    reference's add_picture calls (generators.py:538-559,632)."""
     d = DocxBuilder()
     d.heading("Model validation report", 1)
     d.paragraph(f"model: {metrics_doc['model']}   "
@@ -209,7 +269,8 @@ def write_model_docx(metrics_doc: dict, path: str) -> str:
         if m:
             d.heading(f"{split.capitalize()} metrics", 2)
             d.table(["metric", "value"],
-                    [[k, round(v, 6)] for k, v in sorted(m.items())])
+                    [[k, round(v, 6) if isinstance(v, (int, float)) else v]
+                     for k, v in sorted(m.items())])
 
     def records_table(title: str, recs) -> None:
         if not recs:
@@ -224,4 +285,8 @@ def write_model_docx(metrics_doc: dict, path: str) -> str:
     records_table("Benchmark", metrics_doc.get("benchmark"))
     if metrics_doc.get("shap_summary"):
         records_table("SHAP summary", metrics_doc["shap_summary"])
+    if figures:
+        d.heading("Diagnostics", 2)
+        for caption, png in figures.items():
+            d.image(png, *figure_px, caption=caption)
     return d.save(path)

@@ -344,16 +344,18 @@ CC_DRIVER_MAX = 2_000_000  # edge budget for the driver union-find
 
 def _cc_driver(edges: DataFrame, budget: int) -> DataFrame | None:
     """Min-label connected components via driver union-find behind the
-    one-action limit-probe (the KS/PSI/cv-battery pattern): a probe of
-    the pair list within ``budget`` IS the complete edge set, so the
-    closure finishes in O(E α(E)) on the driver with zero label-
-    propagation rounds. Returns None when the probe truncates — the
+    probe pattern (KS/PSI/cv-battery): an edge set within ``budget``
+    finishes in O(E α(E)) on the driver with zero label-propagation
+    rounds. Returns None when the edge set exceeds the budget — the
     caller falls back to the distributed O(log diameter) loop. The
-    label is the component's minimum id, identical to the iterative
-    path and the recursive-CTE oracle."""
-    pdf = edges.limit(budget + 1).toPandas()
-    if len(pdf) > budget:
+    caller persists ``edges`` first, so the expensive pair-detection
+    pipeline materializes exactly once whichever branch runs (r06
+    ADVICE fix: the old limit-probe threw its work away on overflow).
+    The label is the component's minimum id, identical to the
+    iterative path and the recursive-CTE oracle."""
+    if edges.count() > budget:
         return None
+    pdf = edges.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -419,10 +421,19 @@ def connected_components(
     formulation uses at web scale; on a cluster use reliable
     checkpoint() to a checkpoint dir instead).
     """
+    from pyspark import StorageLevel
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    probed = False
     if driver_budget:
+        # persist BEFORE the probe so an over-budget edge set feeds the
+        # distributed loop from cache instead of re-running the pair-
+        # detection joins (r06 ADVICE fix)
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        probed = True
         out = _cc_driver(e, driver_budget)
         if out is not None:
+            e.unpersist()
             return out
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -432,6 +443,10 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    if probed:
+        # edges' own cache is materialized by the eager checkpoint
+        # above; the probe-stage persist is no longer needed
+        e.unpersist()
     prev_sum = labels.agg(
         F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]

@@ -213,12 +213,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
     w = h = None
     restart_interval = 0
     scan_map = {}  # comp id -> (dc table id, ac table id)
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
+        # T.81 B.1.1.2: any marker may be preceded by repeated 0xFF
+        # fill bytes — skip them before reading the marker id
+        # (r06 ADVICE fix: externally produced JPEGs use them)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn: standalone markers with NO length segment
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
         seglen = struct.unpack_from(">H", data, pos + 2)[0]
         if pos + 2 + seglen > len(data):
             raise ValueError("truncated JPEG segment")

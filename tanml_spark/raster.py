@@ -1,0 +1,386 @@
+"""PNG plot rendering — dependency-free raster twin of plots.py.
+
+The reference report generator embeds figure images in its .docx
+deliverable (tanml/ui/reports/generators.py:253,538-559,632 —
+``add_picture`` of matplotlib PNGs). This environment has no
+matplotlib and no image library, so this module renders the SAME
+plot-data model plots.py draws as SVG onto a numpy RGB canvas and
+encodes it as PNG with stdlib zlib — a valid image file any Word
+processor displays.
+
+Split mirrors plots.py: the heavy reductions stay distributed in the
+PLOT-DATA functions there; everything here is pure driver-side
+drawing over a few hundred points, so figure cost is invariant to
+input scale. Rendering is deterministic (no RNG, no clock): the same
+data bytes produce the same PNG bytes on every run and host.
+
+Text uses the classic public-domain 5x7 bitmap font (the font table
+every LCD/OLED driver ships); at the 2x supersample the x-height
+matches the SVG's 10-11px labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# the engine already carries a stdlib PNG codec (multimodal decode
+# check, r02/r03) — reuse its encoder rather than duplicate it
+from tanml_spark.operators.multimodal import encode_png  # noqa: F401
+
+
+# --------------------------------------------------------- 5x7 bitmap font
+# Classic public-domain 5x7 font (ASCII 32..126): 5 column bytes per
+# glyph, bit 0 = top pixel row.
+_FONT = bytes([
+    0x00, 0x00, 0x00, 0x00, 0x00,  # space
+    0x00, 0x00, 0x5F, 0x00, 0x00,  # !
+    0x00, 0x07, 0x00, 0x07, 0x00,  # "
+    0x14, 0x7F, 0x14, 0x7F, 0x14,  # #
+    0x24, 0x2A, 0x7F, 0x2A, 0x12,  # $
+    0x23, 0x13, 0x08, 0x64, 0x62,  # %
+    0x36, 0x49, 0x55, 0x22, 0x50,  # &
+    0x00, 0x05, 0x03, 0x00, 0x00,  # '
+    0x00, 0x1C, 0x22, 0x41, 0x00,  # (
+    0x00, 0x41, 0x22, 0x1C, 0x00,  # )
+    0x08, 0x2A, 0x1C, 0x2A, 0x08,  # *
+    0x08, 0x08, 0x3E, 0x08, 0x08,  # +
+    0x00, 0x50, 0x30, 0x00, 0x00,  # ,
+    0x08, 0x08, 0x08, 0x08, 0x08,  # -
+    0x00, 0x60, 0x60, 0x00, 0x00,  # .
+    0x20, 0x10, 0x08, 0x04, 0x02,  # /
+    0x3E, 0x51, 0x49, 0x45, 0x3E,  # 0
+    0x00, 0x42, 0x7F, 0x40, 0x00,  # 1
+    0x42, 0x61, 0x51, 0x49, 0x46,  # 2
+    0x21, 0x41, 0x45, 0x4B, 0x31,  # 3
+    0x18, 0x14, 0x12, 0x7F, 0x10,  # 4
+    0x27, 0x45, 0x45, 0x45, 0x39,  # 5
+    0x3C, 0x4A, 0x49, 0x49, 0x30,  # 6
+    0x01, 0x71, 0x09, 0x05, 0x03,  # 7
+    0x36, 0x49, 0x49, 0x49, 0x36,  # 8
+    0x06, 0x49, 0x49, 0x29, 0x1E,  # 9
+    0x00, 0x36, 0x36, 0x00, 0x00,  # :
+    0x00, 0x56, 0x36, 0x00, 0x00,  # ;
+    0x00, 0x08, 0x14, 0x22, 0x41,  # <
+    0x14, 0x14, 0x14, 0x14, 0x14,  # =
+    0x41, 0x22, 0x14, 0x08, 0x00,  # >
+    0x02, 0x01, 0x51, 0x09, 0x06,  # ?
+    0x32, 0x49, 0x79, 0x41, 0x3E,  # @
+    0x7E, 0x11, 0x11, 0x11, 0x7E,  # A
+    0x7F, 0x49, 0x49, 0x49, 0x36,  # B
+    0x3E, 0x41, 0x41, 0x41, 0x22,  # C
+    0x7F, 0x41, 0x41, 0x22, 0x1C,  # D
+    0x7F, 0x49, 0x49, 0x49, 0x41,  # E
+    0x7F, 0x09, 0x09, 0x01, 0x01,  # F
+    0x3E, 0x41, 0x41, 0x51, 0x32,  # G
+    0x7F, 0x08, 0x08, 0x08, 0x7F,  # H
+    0x00, 0x41, 0x7F, 0x41, 0x00,  # I
+    0x20, 0x40, 0x41, 0x3F, 0x01,  # J
+    0x7F, 0x08, 0x14, 0x22, 0x41,  # K
+    0x7F, 0x40, 0x40, 0x40, 0x40,  # L
+    0x7F, 0x02, 0x04, 0x02, 0x7F,  # M
+    0x7F, 0x04, 0x08, 0x10, 0x7F,  # N
+    0x3E, 0x41, 0x41, 0x41, 0x3E,  # O
+    0x7F, 0x09, 0x09, 0x09, 0x06,  # P
+    0x3E, 0x41, 0x51, 0x21, 0x5E,  # Q
+    0x7F, 0x09, 0x19, 0x29, 0x46,  # R
+    0x46, 0x49, 0x49, 0x49, 0x31,  # S
+    0x01, 0x01, 0x7F, 0x01, 0x01,  # T
+    0x3F, 0x40, 0x40, 0x40, 0x3F,  # U
+    0x1F, 0x20, 0x40, 0x20, 0x1F,  # V
+    0x7F, 0x20, 0x18, 0x20, 0x7F,  # W
+    0x63, 0x14, 0x08, 0x14, 0x63,  # X
+    0x03, 0x04, 0x78, 0x04, 0x03,  # Y
+    0x61, 0x51, 0x49, 0x45, 0x43,  # Z
+    0x00, 0x7F, 0x41, 0x41, 0x00,  # [
+    0x02, 0x04, 0x08, 0x10, 0x20,  # backslash
+    0x00, 0x41, 0x41, 0x7F, 0x00,  # ]
+    0x04, 0x02, 0x01, 0x02, 0x04,  # ^
+    0x40, 0x40, 0x40, 0x40, 0x40,  # _
+    0x00, 0x01, 0x02, 0x04, 0x00,  # `
+    0x20, 0x54, 0x54, 0x54, 0x78,  # a
+    0x7F, 0x48, 0x44, 0x44, 0x38,  # b
+    0x38, 0x44, 0x44, 0x44, 0x20,  # c
+    0x38, 0x44, 0x44, 0x48, 0x7F,  # d
+    0x38, 0x54, 0x54, 0x54, 0x18,  # e
+    0x08, 0x7E, 0x09, 0x01, 0x02,  # f
+    0x0C, 0x52, 0x52, 0x52, 0x3E,  # g
+    0x7F, 0x08, 0x04, 0x04, 0x78,  # h
+    0x00, 0x44, 0x7D, 0x40, 0x00,  # i
+    0x20, 0x40, 0x44, 0x3D, 0x00,  # j
+    0x00, 0x7F, 0x10, 0x28, 0x44,  # k
+    0x00, 0x41, 0x7F, 0x40, 0x00,  # l
+    0x7C, 0x04, 0x18, 0x04, 0x78,  # m
+    0x7C, 0x08, 0x04, 0x04, 0x78,  # n
+    0x38, 0x44, 0x44, 0x44, 0x38,  # o
+    0x7C, 0x14, 0x14, 0x14, 0x08,  # p
+    0x08, 0x14, 0x14, 0x18, 0x7C,  # q
+    0x7C, 0x08, 0x04, 0x04, 0x08,  # r
+    0x48, 0x54, 0x54, 0x54, 0x20,  # s
+    0x04, 0x3F, 0x44, 0x40, 0x20,  # t
+    0x3C, 0x40, 0x40, 0x20, 0x7C,  # u
+    0x1C, 0x20, 0x40, 0x20, 0x1C,  # v
+    0x3C, 0x40, 0x30, 0x40, 0x3C,  # w
+    0x44, 0x28, 0x10, 0x28, 0x44,  # x
+    0x0C, 0x50, 0x50, 0x50, 0x3C,  # y
+    0x44, 0x64, 0x54, 0x4C, 0x44,  # z
+    0x00, 0x08, 0x36, 0x41, 0x00,  # {
+    0x00, 0x00, 0x7F, 0x00, 0x00,  # |
+    0x00, 0x41, 0x36, 0x08, 0x00,  # }
+    0x08, 0x04, 0x08, 0x10, 0x08,  # ~
+])
+
+
+def _hex_rgb(c: str) -> tuple[int, int, int]:
+    c = c.lstrip("#")
+    return int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)
+
+
+class Canvas:
+    """Minimal numpy RGB canvas: filled rects, 1px/2px lines (with a
+    cheap 2-sample vertical AA for slopes), alpha-blended circles, and
+    5x7 bitmap text. All coordinates float, origin top-left — the same
+    geometry plots.py emits as SVG."""
+
+    def __init__(self, w: int, h: int, bg: str = "#fcfcfb") -> None:
+        self.w, self.h = w, h
+        self.img = np.empty((h, w, 3), np.uint8)
+        self.img[:] = _hex_rgb(bg)
+
+    # -- primitives --------------------------------------------------
+    def rect(self, x0: float, y0: float, x1: float, y1: float,
+             color: str, alpha: float = 1.0) -> None:
+        xa, xb = sorted((int(round(x0)), int(round(x1))))
+        ya, yb = sorted((int(round(y0)), int(round(y1))))
+        xa, ya = max(xa, 0), max(ya, 0)
+        xb, yb = min(xb, self.w), min(yb, self.h)
+        if xa >= xb or ya >= yb:
+            return
+        c = np.array(_hex_rgb(color), np.float64)
+        sub = self.img[ya:yb, xa:xb].astype(np.float64)
+        self.img[ya:yb, xa:xb] = (sub * (1 - alpha) + c * alpha
+                                  ).round().astype(np.uint8)
+
+    def line(self, x0: float, y0: float, x1: float, y1: float,
+             color: str, width: int = 1, alpha: float = 1.0) -> None:
+        """Sampled thick line: walk max(|dx|,|dy|)*2 steps, stamp a
+        width x width square at each — visually equivalent to the SVG
+        2px stroke at chart sizes, and branch-free numpy."""
+        n = int(max(abs(x1 - x0), abs(y1 - y0)) * 2) + 1
+        t = np.linspace(0.0, 1.0, n)
+        xs = np.round(x0 + (x1 - x0) * t).astype(int)
+        ys = np.round(y0 + (y1 - y0) * t).astype(int)
+        half0 = (width - 1) // 2
+        half1 = width // 2
+        c = np.array(_hex_rgb(color), np.float64)
+        pts = set(zip(xs.tolist(), ys.tolist()))
+        for px, py in pts:
+            xa, xb = px - half0, px + half1 + 1
+            ya, yb = py - half0, py + half1 + 1
+            xa, ya = max(xa, 0), max(ya, 0)
+            xb, yb = min(xb, self.w), min(yb, self.h)
+            if xa >= xb or ya >= yb:
+                continue
+            if alpha >= 1.0:
+                self.img[ya:yb, xa:xb] = c.astype(np.uint8)
+            else:
+                sub = self.img[ya:yb, xa:xb].astype(np.float64)
+                self.img[ya:yb, xa:xb] = (
+                    sub * (1 - alpha) + c * alpha).round().astype(np.uint8)
+
+    def polyline(self, xs, ys, color: str, width: int = 2) -> None:
+        for i in range(len(xs) - 1):
+            self.line(xs[i], ys[i], xs[i + 1], ys[i + 1], color, width)
+
+    def circle(self, cx: float, cy: float, r: float, color: str,
+               alpha: float = 1.0) -> None:
+        xa, xb = int(cx - r - 1), int(cx + r + 2)
+        ya, yb = int(cy - r - 1), int(cy + r + 2)
+        xa, ya = max(xa, 0), max(ya, 0)
+        xb, yb = min(xb, self.w), min(yb, self.h)
+        if xa >= xb or ya >= yb:
+            return
+        yy, xx = np.mgrid[ya:yb, xa:xb]
+        d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        cov = np.clip(r + 0.5 - d, 0.0, 1.0) * alpha  # edge AA
+        c = np.array(_hex_rgb(color), np.float64)
+        sub = self.img[ya:yb, xa:xb].astype(np.float64)
+        self.img[ya:yb, xa:xb] = (
+            sub * (1 - cov[..., None]) + c * cov[..., None]
+        ).round().astype(np.uint8)
+
+    def text(self, x: float, y: float, s: str, color: str,
+             scale: int = 1, anchor: str = "start",
+             rotate90: bool = False) -> None:
+        """Draw ``s`` with its LEFT BASELINE at (x, y) (SVG text
+        semantics); ``anchor`` in start|middle|end; ``rotate90`` draws
+        bottom-up (for y-axis labels)."""
+        s = "".join(ch if 32 <= ord(ch) < 127 else "?" for ch in str(s))
+        adv = 6 * scale  # 5px glyph + 1px gap
+        total = adv * len(s)
+        if anchor == "middle":
+            off = -total // 2
+        elif anchor == "end":
+            off = -total
+        else:
+            off = 0
+        c = np.array(_hex_rgb(color), np.uint8)
+        for k, ch in enumerate(s):
+            gi = (ord(ch) - 32) * 5
+            cols = _FONT[gi:gi + 5]
+            for cx_, colbyte in enumerate(cols):
+                for ry in range(7):
+                    if not (colbyte >> ry) & 1:
+                        continue
+                    for sy in range(scale):
+                        for sx in range(scale):
+                            if rotate90:
+                                # SVG rotate(-90): text advances UPWARD
+                                px = int(x) + (ry * scale + sy) - 7 * scale
+                                py = int(y) - off - k * adv \
+                                    - cx_ * scale - sx
+                            else:
+                                px = int(x) + off + k * adv \
+                                    + cx_ * scale + sx
+                                py = int(y) + (ry - 7) * scale + sy
+                            if 0 <= px < self.w and 0 <= py < self.h:
+                                self.img[py, px] = c
+
+    def png(self) -> bytes:
+        return encode_png(self.img)
+
+
+# ------------------------------------------------------------ chart chrome
+# Same layout constants and palette as plots.py, at 2x supersample for
+# crisp text in the document.
+from tanml_spark.plots import (GRID, INK, INK_2, MB, ML, MR, MT, SERIES,  # noqa: E402
+                               SURFACE, H, W, _thin)
+
+S = 2  # supersample factor
+
+
+def _sc(vals, lo, hi, out_lo, out_hi):
+    span = (hi - lo) or 1.0
+    return (out_lo + (np.asarray(vals, dtype=float) - lo)
+            / span * (out_hi - out_lo)) * S
+
+
+def _chrome(cv: Canvas, title: str, xlabel: str, ylabel: str,
+            x_ticks, y_ticks, xfmt="{:.3g}", yfmt="{:.2g}") -> None:
+    for xv, xp in x_ticks:
+        cv.line(xp, MT * S, xp, (H - MB) * S, GRID, width=S)
+        cv.text(xp, (H - MB + 14) * S, xfmt.format(xv), INK_2,
+                scale=S, anchor="middle")
+    for yv, yp in y_ticks:
+        cv.line(ML * S, yp, (W - MR) * S, yp, GRID, width=S)
+        cv.text((ML - 6) * S, yp + 3 * S, yfmt.format(yv), INK_2,
+                scale=S, anchor="end")
+    cv.text(ML * S, 16 * S, title, INK, scale=S)
+    cv.text((ML + W - MR) / 2 * S, (H - 6) * S, xlabel, INK_2,
+            scale=S, anchor="middle")
+    if ylabel:
+        cv.text(12 * S, (MT + H - MB) / 2 * S, ylabel, INK_2,
+                scale=S, anchor="middle", rotate90=True)
+
+
+def png_line_chart(
+    series: dict[str, tuple[np.ndarray, np.ndarray]],
+    title: str, xlabel: str, ylabel: str,
+    diagonal: bool = False,
+) -> bytes:
+    """Raster twin of plots.svg_line_chart (same data contract)."""
+    cv = Canvas(W * S, H * S, SURFACE)
+    allx = (np.concatenate([s[0] for s in series.values()])
+            if series else np.array([0, 1]))
+    ally = (np.concatenate([s[1] for s in series.values()])
+            if series else np.array([0, 1]))
+    xlo, xhi = float(allx.min()), float(allx.max())
+    ylo, yhi = float(min(ally.min(), 0)), float(ally.max())
+    ticks = np.linspace
+    _chrome(
+        cv, title, xlabel, ylabel,
+        [(v, _sc(v, xlo, xhi, ML, W - MR)) for v in ticks(xlo, xhi, 5)],
+        [(v, _sc(v, ylo, yhi, H - MB, MT)) for v in ticks(ylo, yhi, 5)],
+    )
+    if diagonal:
+        cv.line(ML * S, (H - MB) * S, (W - MR) * S, MT * S, INK_2,
+                width=S, alpha=0.5)
+    legend = []
+    for i, (name, (xs, ys)) in enumerate(series.items()):
+        color = SERIES[i % len(SERIES)]
+        legend.append((name, color))
+        px = _sc(xs, xlo, xhi, ML, W - MR)
+        py = _sc(ys, ylo, yhi, H - MB, MT)
+        cv.polyline(px, py, color, width=2 * S)
+        if len(series) == 1:
+            # single series: direct end label (multi-series lines often
+            # converge at the end — the legend carries the names there)
+            cv.text(min(px[-1] + 4 * S, (W - MR - 2) * S), py[-1] - 4 * S,
+                    name, INK_2, scale=S)
+    if len(legend) >= 2:
+        _chrome_legend(cv, legend)
+    return cv.png()
+
+
+def _chrome_legend(cv: Canvas, legend) -> None:
+    x = (W - MR) * S - sum((14 + 7 * len(n) + 18) * S for n, _ in legend)
+    for name, color in legend:
+        cv.rect(x, (MT - 26) * S, x + 10 * S, (MT - 16) * S, color)
+        cv.text(x + 14 * S, (MT - 17) * S + 7 * S, name, INK_2, scale=S)
+        x += (14 + 7 * len(name) + 18) * S
+
+
+def png_histogram(edges: np.ndarray, counts: np.ndarray,
+                  title: str, xlabel: str) -> bytes:
+    """Raster twin of plots.svg_histogram."""
+    cv = Canvas(W * S, H * S, SURFACE)
+    n = len(counts)
+    xlo, xhi = float(edges[0]), float(edges[-1])
+    ymax = float(counts.max() or 1)
+    _chrome(
+        cv, title, xlabel, "count",
+        [(v, _sc(v, xlo, xhi, ML, W - MR)) for v in np.linspace(xlo, xhi, 5)],
+        [(v, _sc(v, 0, ymax, H - MB, MT)) for v in np.linspace(0, ymax, 5)],
+        yfmt="{:.0f}",
+    )
+    span = (W - MR - ML) / n
+    bw = max(span - 2, 1.0)
+    for i in range(n):
+        x = (ML + i * span + 1) * S
+        y = _sc(counts[i], 0, ymax, H - MB, MT)
+        if (H - MB) * S - y <= 0:
+            continue
+        cv.rect(x, y, x + bw * S, (H - MB) * S, SERIES[0])
+    return cv.png()
+
+
+def png_beeswarm(groups: dict[str, np.ndarray], title: str,
+                 xlabel: str = "attribution") -> bytes:
+    """Raster twin of plots.svg_beeswarm (same deterministic jitter)."""
+    cv = Canvas(W * S, H * S, SURFACE)
+    feats = list(groups)[:10]
+    if not feats:
+        cv.text(ML * S, 16 * S, title, INK, scale=S)
+        return cv.png()
+    allv = np.concatenate([groups[f] for f in feats])
+    xlo, xhi = float(min(allv.min(), 0)), float(max(allv.max(), 0))
+    _chrome(
+        cv, title, xlabel, "",
+        [(v, _sc(v, xlo, xhi, ML, W - MR)) for v in np.linspace(xlo, xhi, 5)],
+        [],
+    )
+    zx = _sc(0.0, xlo, xhi, ML, W - MR)
+    cv.line(zx, MT * S, zx, (H - MB) * S, INK_2, width=S, alpha=0.5)
+    rows = len(feats)
+    row_h = (H - MT - MB) / rows
+    for i, f_ in enumerate(feats):
+        cy = (MT + (i + 0.5) * row_h) * S
+        cv.text((ML - 6) * S, cy + 3 * S, f_, INK, scale=S, anchor="end")
+        vals = groups[f_]
+        px = _sc(vals, xlo, xhi, ML, W - MR)
+        jit = (np.abs(np.frombuffer(
+            np.round(vals, 9).tobytes(), dtype=np.uint64,
+        ).astype(np.float64)) % 997) / 997.0
+        py = cy + (jit - 0.5) * min(row_h - 10, 18) * S
+        for x, y in zip(px, py):
+            cv.circle(x, y, 4 * S, SERIES[0], alpha=0.45)
+    return cv.png()

@@ -79,6 +79,35 @@ def test_builder_roundtrip(tmp_path):
     assert "&lt;&amp;" in doc2 and "<&" not in doc2.split("<w:t", 1)[1][:40]
 
 
+def test_builder_image_embeds_valid_png(tmp_path):
+    """DrawingML inline image: media part present, relationship wired,
+    and the embedded bytes decode as a real PNG (our own stdlib
+    decoder — the 'unzips to valid PNGs' gate)."""
+    import numpy as np
+
+    from tanml_spark.operators.multimodal import decode_png
+    from tanml_spark.raster import png_histogram
+
+    png = png_histogram(np.linspace(0, 1, 11),
+                        np.arange(10).astype(float), "hist", "x")
+    p = str(tmp_path / "img.docx")
+    (DocxBuilder().heading("T", 1)
+     .image(png, 460, 280, caption="hist figure").save(p))
+    doc = _assert_valid_package(p)
+    with zipfile.ZipFile(p) as z:
+        names = z.namelist()
+        assert "word/media/image1.png" in names
+        blob = z.read("word/media/image1.png")
+        w, h, luma = decode_png(blob)
+        assert (w, h) == (920, 560) and 0.0 < luma < 1.0
+        rels = z.read("word/_rels/document.xml.rels").decode()
+        assert 'Id="rIdImg1"' in rels and "media/image1.png" in rels
+        ct = z.read("[Content_Types].xml").decode()
+        assert 'Extension="png"' in ct
+    assert "<w:drawing>" in doc and 'r:embed="rIdImg1"' in doc
+    assert "hist figure" in _texts(doc)
+
+
 def test_validation_docx_from_summary(tmp_path):
     summary = {
         "run_dir": "/runs/r1",
@@ -108,7 +137,8 @@ def test_model_docx_from_metrics_doc(tmp_path):
     metrics_doc = {
         "task": "classification",
         "model": "pyspark.ml.LogisticRegression",
-        "train_metrics": {"accuracy": 0.91, "roc_auc": 0.95},
+        # a None metric must not crash the table render (r06 ADVICE fix)
+        "train_metrics": {"accuracy": 0.91, "roc_auc": 0.95, "ks": None},
         "test_metrics": {"accuracy": 0.88, "roc_auc": 0.92},
         "stress": [{"feature": "income", "perturbation": "+1.0%",
                     "accuracy": 0.88, "auc": 0.92,
@@ -120,10 +150,21 @@ def test_model_docx_from_metrics_doc(tmp_path):
         "findings": ["Strong discrimination (ROC AUC 0.92).",
                      "No drift detected."],
     }
-    p = write_model_docx(metrics_doc, str(tmp_path / "model.docx"))
+    import numpy as np
+
+    from tanml_spark.raster import png_line_chart
+
+    figures = {"roc_test": png_line_chart(
+        {"ROC": (np.linspace(0, 1, 20), np.linspace(0, 1, 20) ** 0.5)},
+        "ROC curve", "fpr", "tpr", diagonal=True)}
+    p = write_model_docx(metrics_doc, str(tmp_path / "model.docx"),
+                         figures=figures)
     doc = _assert_valid_package(p)
+    with zipfile.ZipFile(p) as z:
+        assert z.read("word/media/image1.png")[:8] == b"\x89PNG\r\n\x1a\n"
     texts = _texts(doc)
     assert "Model validation report" in texts
+    assert "Diagnostics" in texts and "roc_test" in texts
     assert any("Strong discrimination" in t for t in texts)
     for section in ("Findings", "Train metrics", "Test metrics",
                     "Stress test", "Permutation importance", "Drift",

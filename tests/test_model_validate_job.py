@@ -72,8 +72,20 @@ def test_classification_run_produces_full_report(credit_parquet):
     with zipfile.ZipFile(os.path.join(run_dir, "report.docx")) as z:
         doc = z.read("word/document.xml").decode()
         ET.fromstring(doc)  # well-formed
+        # r06: the docx embeds the figures as REAL PNG media parts
+        # (reference generators.py add_picture parity) — every media
+        # entry must decode as a valid PNG
+        from tanml_spark.operators.multimodal import decode_png
+
+        media = [n for n in z.namelist() if n.startswith("word/media/")]
+        # ROC + up-to-3 ECDFs + SHAP beeswarm for the linear model
+        assert len(media) >= 3
+        for n in media:
+            w, h, luma = decode_png(z.read(n))
+            assert w > 0 and h > 0 and 0.0 < luma < 1.0
     assert "Model validation report" in doc
     assert "Stress test" in doc and "Benchmark" in doc
+    assert "<w:drawing>" in doc and "Diagnostics" in doc
 
 
 def test_pickled_model_path(credit_parquet):

@@ -170,7 +170,8 @@ def test_rank_transform_paths_equivalent(spark):
     })
     df = spark.createDataFrame(pdf)
     cols = ["a", "b"]
-    fast = _rank_transform_broadcast(df, cols)
+    fast, leftover = _rank_transform_broadcast(df, cols)
+    assert fast is not None and leftover is None
     slow = _rank_transform_distributed(df, cols)
     exprs = [F.sum(c).alias(f"s_{c}") for c in cols] + [
         F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}") for c in cols

@@ -1,0 +1,92 @@
+"""raster.py — PNG figure rendering (no Spark needed).
+
+The docx deliverable embeds these; the gates are (a) every renderer
+produces a VALID PNG (round-tripped through the engine's own stdlib
+decoder), (b) rendering is byte-deterministic, (c) the drawn data is
+actually on the canvas (ink where the series runs, surface where it
+doesn't)."""
+
+import numpy as np
+
+from tanml_spark import raster as R
+from tanml_spark.operators.multimodal import decode_png
+from tanml_spark.plots import H, W
+
+
+def _valid(png: bytes):
+    w, h, luma = decode_png(png)
+    assert (w, h) == (W * R.S, H * R.S)
+    assert 0.0 < luma < 1.0
+    return luma
+
+
+def test_line_chart_png_valid_and_deterministic():
+    xs = np.linspace(0.0, 1.0, 80)
+    series = {"train": (xs, xs ** 0.5), "test": (xs, xs ** 2)}
+    a = R.png_line_chart(series, "ECDF: x", "x", "cumulative fraction")
+    b = R.png_line_chart(series, "ECDF: x", "x", "cumulative fraction")
+    assert a == b  # byte-deterministic
+    _valid(a)
+    # different data -> different image
+    c = R.png_line_chart({"train": (xs, xs)}, "ECDF: x", "x", "cf")
+    assert c != a
+
+
+def test_histogram_png_bars_land_where_counts_are():
+    edges = np.linspace(-1.0, 1.0, 21)
+    counts = np.zeros(20)
+    counts[5] = 100.0  # single tall bar in the left half
+    png = R.png_histogram(edges, counts, "Residuals", "residual")
+    _valid(png)
+    w, h, _ = decode_png(png)
+    # series-blue bar pixels must appear, in the left half of the chart
+    blue = np.array([0x2A, 0x78, 0xD6])
+    img = _decode_rgb(png, w, h)
+    hit = np.where((img == blue).all(axis=2))
+    assert len(hit[0]) > 100  # bar pixels present
+    assert hit[1].mean() < w / 2  # ... in the left half
+
+
+def _decode_rgb(png: bytes, w: int, h: int) -> np.ndarray:
+    """Tiny RGB8 PNG reader for test assertions (filter 0/1/2 only —
+    our encoder writes filter 0)."""
+    import struct
+    import zlib
+
+    pos = 8
+    idat = b""
+    while pos < len(png):
+        ln, tag = struct.unpack_from(">I4s", png, pos)
+        if tag == b"IDAT":
+            idat += png[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for y in range(h):
+        line = raw[y * stride: (y + 1) * stride]
+        assert line[0] == 0, "encoder writes filter 0"
+        rows.append(np.frombuffer(line[1:], np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+def test_beeswarm_png_valid():
+    rng = np.random.default_rng(7)
+    groups = {f"f{i}": rng.normal(0, 0.5, 40) for i in range(4)}
+    png = R.png_beeswarm(groups, "SHAP attributions (test sample)")
+    _valid(png)
+    # empty input still yields a valid (mostly blank) figure
+    _valid(R.png_beeswarm({}, "empty"))
+
+
+def test_text_rendering_marks_ink():
+    cv = R.Canvas(100, 40, "#ffffff")
+    cv.text(4, 20, "AUC 0.91", "#000000", scale=1)
+    img = cv.img
+    black = (img == 0).all(axis=2)
+    assert black.sum() > 40  # glyph pixels drawn
+    # anchor=end places text fully left of x
+    cv2 = R.Canvas(100, 40, "#ffffff")
+    cv2.text(96, 20, "42", "#000000", anchor="end")
+    ys, xs = np.where((cv2.img == 0).all(axis=2))
+    assert xs.max() < 96

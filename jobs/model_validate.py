@@ -70,9 +70,15 @@ def main() -> int:
     test = load_table(spark, args.test).na.drop(subset=feats + [label]).cache()
 
     # ---- model: pyspark.ml fit OR pickled sklearn-style adapter ----
+    # linear_wb: (weights, intercept) when the model is linear — those
+    # route to EXACT closed-form SHAP (r06; reference shap_check.py:164
+    # LinearExplainer parity) instead of the sampled permutation path
     predict_fn = None
+    linear_wb = None
     if args.model_pickle:
         import pickle
+
+        import numpy as np
 
         from tanml_spark.models.interop import PredictFnModel, numpy_predict_fn
 
@@ -80,6 +86,9 @@ def main() -> int:
             obj = pickle.load(fh)
         model = PredictFnModel(obj, feats, task=args.task)
         predict_fn = numpy_predict_fn(obj, args.task)
+        if hasattr(obj, "coef_") and hasattr(obj, "intercept_"):
+            linear_wb = (np.asarray(obj.coef_, dtype=float).ravel(),
+                         float(np.atleast_1d(obj.intercept_)[0]))
     else:
         from pyspark.ml import Pipeline
         from pyspark.ml.feature import VectorAssembler
@@ -95,6 +104,8 @@ def main() -> int:
             from tanml_spark.checks.explainability import linear_predict_fn
 
             predict_fn = linear_predict_fn(stage, args.task)
+            linear_wb = (stage.coefficients.toArray(),
+                         float(stage.intercept))
 
     def score(frame):
         out = model.transform(frame)
@@ -192,7 +203,15 @@ def main() -> int:
 
     shap_summary_rows = None
     sv = None
-    if predict_fn is not None:
+    if linear_wb is not None:
+        # EXACT closed-form linear SHAP — margin space, pure column
+        # expressions, no sampling error (explainability.py r06)
+        from tanml_spark.checks.explainability import (background_sample,
+                                                       linear_shap_values)
+
+        bg = background_sample(train, feats)
+        sv = linear_shap_values(test, feats, *linear_wb, bg, test_n=100)
+    elif predict_fn is not None:
         from tanml_spark.checks.explainability import (background_sample,
                                                        shap_values)
 

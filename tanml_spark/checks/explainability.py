@@ -198,6 +198,74 @@ def shap_values(
     return rows.mapInPandas(explain, schema=out_schema)
 
 
+def linear_shap_values(
+    test: DataFrame,
+    feature_cols: list[str],
+    weights,
+    intercept: float,
+    background: np.ndarray,
+    test_n: int = 200,
+    id_col: str | None = None,
+) -> DataFrame:
+    """EXACT closed-form SHAP for linear models — the reference's
+    shap.LinearExplainer path (shap_check.py:164): with independent
+    features, φᵢ = wᵢ·(xᵢ − μᵢ) where μ is the background feature
+    mean, base = w·μ + b, and additivity Σφ = f(x) − base holds to
+    float precision. For a classifier this explains the MARGIN
+    (log-odds), exactly like LinearExplainer on a sklearn
+    LogisticRegression.
+
+    Spark-first: unlike the reference (driver-side numpy over a pandas
+    sample), the whole computation is a stack of column expressions —
+    literal weights folded into the plan, no Python UDF, no broadcast,
+    whole-stage codegen end to end — so the same plan explains 200
+    rows or 10^12. Output contract matches shap_values /
+    tree_shap_values: (id?, feature, x_value, shap_value, base_value).
+
+    The permutation path (shap_values) run with the margin predict_fn
+    converges to these values exactly for linear f (every permutation
+    order yields the same marginals) — tests assert equality at 1e-9.
+    """
+    w = np.asarray(weights, dtype=np.float64).ravel()
+    if len(w) != len(feature_cols):
+        raise ValueError(
+            f"{len(w)} weights for {len(feature_cols)} features")
+    mu = np.asarray(background, dtype=np.float64).mean(axis=0)
+    base = float(w @ mu + float(intercept))
+
+    sel_cols = ([id_col] if id_col else []) + feature_cols
+    order_key = (
+        F.col(id_col) if id_col
+        else F.xxhash64(*[F.col(c).cast("string") for c in feature_cols])
+    )
+    rows = test.select(*sel_cols).na.drop().orderBy(order_key).limit(test_n)
+
+    # stack(k, 'name', x, phi, ...) — one row per (explained row,
+    # feature); weights/means are plan literals (repr round-trips
+    # doubles exactly)
+    triples = ", ".join(
+        f"'{c}', cast(`{c}` as double), "
+        f"cast({w[j]!r} as double) * (cast(`{c}` as double) "
+        f"- cast({mu[j]!r} as double))"
+        for j, c in enumerate(feature_cols)
+    )
+    keep = [F.col(id_col)] if id_col else []
+    return rows.select(
+        *keep,
+        F.expr(f"stack({len(feature_cols)}, {triples})"
+               " as (feature, x_value, shap_value)"),
+    ).withColumn("base_value", F.lit(base))
+
+
+def linear_margin_fn(weights, intercept: float):
+    """Numpy margin (link-space) callable for a linear model — the
+    function linear_shap_values explains; used by tests to cross-check
+    against the permutation path."""
+    w = np.asarray(weights, dtype=np.float64).ravel()
+    b = float(intercept)
+    return lambda X: X @ w + b
+
+
 def shap_summary(sv: DataFrame) -> DataFrame:
     """Global ranking from per-row attributions:
     (feature, mean_abs_shap, mean_shap), sorted like the reference's

@@ -4,18 +4,22 @@ this environment).
 Closes the last honest decode stub in operators/multimodal.py (r04
 VERDICT missing #2): `decode_jpeg` handles baseline sequential DCT
 JPEGs (SOF0, 8-bit, Annex-K-style huffman coding, any sampling factors
-up to 2x2, restart markers), returning (width, height, mean_luma).
-Only the LUMA component is inverse-transformed — chroma coefficients
-are huffman-decoded (the bitstream demands it) but never dequantized
-or IDCT'd, since the feature extractor needs dimensions + luma only.
-Progressive (SOF2), arithmetic-coded, and 12-bit streams raise
+up to 2x2, restart markers) AND — round 6 — progressive JPEGs (SOF2:
+spectral-selection bands, successive approximation with DC/AC first
+and refinement scans, shared EOB runs, restarts), returning
+(width, height, mean_luma). Only the LUMA component is inverse-
+transformed; in progressive streams chroma-only scans are hopped over
+byte-wise (entropy segments are self-delimiting) without huffman
+decoding. Arithmetic-coded, lossless, and 12-bit streams raise
 ValueError → flagged decode_ok=False upstream, never faked.
 
-`encode_jpeg` is the fixture-side companion: baseline, 4:4:4 (or
-grayscale), Annex K quantization + huffman tables. It exists so
-deterministic synthetic media can include real JPEG bytes; decode
-correctness is additionally cross-checked against the independent BMP
-path on identical pixel content (tests/test_multimodal.py).
+`encode_jpeg` / `encode_jpeg_progressive` are the fixture-side
+companions: Annex K quantization, 4:4:4 (or grayscale; baseline also
+4:2:0). They exist so deterministic synthetic media can include real
+JPEG bytes; decode correctness is additionally cross-checked against
+the independent BMP path on identical pixel content, and the
+progressive decode must reproduce the baseline decode bit-for-bit on
+mean luma (same coefficients once all scans land).
 
 Scale note: this is the slow-path codec for environments without
 native libraries; rows flow through Arrow-batched mapInPandas either
@@ -201,8 +205,28 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """First position of a REAL marker at/after ``pos`` — skips
+    entropy-coded bytes, 0xFF00 stuffing and RSTn. Lets the decoder
+    hop over scans it doesn't need (progressive chroma scans)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(data)
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, float]:
-    """(width, height, mean_luma) from baseline sequential JPEG bytes."""
+    """(width, height, mean_luma) from JPEG bytes — baseline
+    sequential (SOF0/1) AND, since r06, progressive (SOF2: spectral
+    selection + successive approximation, DC and AC first/refinement
+    scans, EOB runs, restarts). Luma-only inverse transform either
+    way; progressive chroma scans are hopped over byte-wise (entropy
+    segments are self-delimiting), never huffman-decoded."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -212,6 +236,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
     comps = []  # [(id, h, v, tq)]
     w = h = None
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: luma coefficient store (nby, nbx, 64)
     scan_map = {}  # comp id -> (dc table id, ac table id)
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -246,19 +272,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                 tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
                 quant[tq] = tbl
                 i += 64
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = body[0]
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit streams supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", body, 1)
             nc = body[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c: 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("unsupported JPEG (lossless/arithmetic)")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -273,14 +300,46 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            scomps = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan_map[cid] = (tt >> 4, tt & 0x0F)
-            pos = pos + 2 + seglen
-            break
+                scomps.append(cid)
+            if not progressive:
+                pos = pos + 2 + seglen
+                break
+            # ---- progressive scan ----
+            if w is None or not comps:
+                raise ValueError("SOS before SOF")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if coef is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coef = np.zeros(
+                    (mcuy * comps[0][2], mcux * comps[0][1], 64),
+                    dtype=np.int32)
+            scan_start = pos + 2 + seglen
+            if comps[0][0] in scomps:
+                pos = _decode_progressive_scan(
+                    data, scan_start, comps, scomps, scan_map,
+                    huff_dc, huff_ac, coef, w, h,
+                    ss, se, ah, al, restart_interval)
+            else:
+                # chroma-only scan: the feature extractor never needs
+                # chroma — hop to the next marker byte-wise
+                pos = _entropy_end(data, scan_start)
+            continue
         pos = pos + 2 + seglen
     if w is None or not comps or not scan_map:
         raise ValueError("truncated JPEG (no SOF/SOS)")
+    if progressive:
+        if coef is None:
+            raise ValueError("progressive JPEG with no decoded scan")
+        return _reconstruct_luma(coef, comps, quant, w, h)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -336,6 +395,184 @@ def decode_jpeg(data: bytes) -> tuple[int, int, float]:
                             ydata[y0: y0 + 8, x0: x0 + 8] = px
             mcu_count += 1
 
+    luma = np.clip(ydata[:h, :w], 0, 255)
+    return int(w), int(h), round(float(luma.mean()) / 255.0, 9)
+
+
+def _decode_progressive_scan(
+    data: bytes, pos: int, comps, scomps, scan_map,
+    huff_dc, huff_ac, coef: np.ndarray, w: int, h: int,
+    ss: int, se: int, ah: int, al: int, restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan into the luma coefficient store
+    (zigzag order), following T.81 G.2 / the classic two-pass huffman
+    successive-approximation procedures. Non-luma coefficients in an
+    interleaved scan are entropy-decoded (bit alignment demands it)
+    but not stored. Returns the stream position of the next marker."""
+    # T.81 G.1.1.1 scan-header constraints — violating streams (e.g. a
+    # baseline file with its SOF marker flipped to SOF2) must raise,
+    # not desync into fabricated pixels
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and (len(scomps) != 1 or ss > se or se > 63):
+        raise ValueError("bad progressive AC scan header")
+    if ah and ah != al + 1:
+        raise ValueError("successive approximation must step one bit")
+    rdr = _BitReader(data, pos)
+    luma_id = comps[0][0]
+    cinfo = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    interleaved = len(scomps) > 1
+    eobrun = 0
+    pred = {cid: 0 for cid in scomps}
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(cid, by, bx):
+        t = rdr.huff(huff_dc[scan_map[cid][0]])
+        diff = _extend(rdr.read(t), t)
+        pred[cid] += diff
+        if cid == luma_id:
+            coef[by, bx, 0] = pred[cid] << al
+
+    def dc_refine(cid, by, bx):
+        bit = rdr.read(1)
+        if bit and cid == luma_id:
+            coef[by, bx, 0] |= p1
+
+    def ac_first(by, bx):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        zz = coef[by, bx]
+        k = ss
+        while k <= se:
+            rs = rdr.huff(huff_ac[scan_map[luma_id][1]])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rdr.read(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index past spectral band")
+            zz[k] = _extend(rdr.read(s), s) << al
+            k += 1
+
+    def ac_refine(by, bx):
+        # T.81 G.2 AC successive-approximation refinement (the
+        # jdphuff.c decode_mcu_AC_refine control flow)
+        nonlocal eobrun
+        zz = coef[by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rdr.huff(huff_ac[scan_map[luma_id][1]])
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    newval = p1 if rdr.read(1) else m1
+                else:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rdr.read(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                while k <= se:
+                    if zz[k] != 0:
+                        if rdr.read(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement ran past band end")
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if rdr.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def maybe_restart(unit_count):
+        nonlocal eobrun, pred
+        if restart_interval and unit_count and \
+                unit_count % restart_interval == 0:
+            rdr.restart()
+            pred = {cid: 0 for cid in scomps}
+            eobrun = 0
+
+    if interleaved:
+        # interleaved (DC) scan: MCU walk, every scan component decoded
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(n)
+                for cid in scomps:
+                    ch, cv = cinfo[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            gy, gx = my * cv + by, mx * ch + bx
+                            if ss == 0 and ah == 0:
+                                dc_first(cid, gy, gx)
+                            elif ss == 0:
+                                dc_refine(cid, gy, gx)
+                            else:
+                                raise ValueError(
+                                    "interleaved AC scan is invalid")
+                n += 1
+    else:
+        # non-interleaved scan over the component's own block grid
+        cid = scomps[0]
+        ch, cv = cinfo[cid]
+        cw = -(-w * ch // hmax)   # ceil(w * ch / hmax)
+        chh = -(-h * cv // vmax)
+        nbx, nby = -(-cw // 8), -(-chh // 8)
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart(n)
+                if ss == 0 and ah == 0:
+                    dc_first(cid, by, bx)
+                elif ss == 0:
+                    dc_refine(cid, by, bx)
+                elif ah == 0:
+                    ac_first(by, bx)
+                else:
+                    ac_refine(by, bx)
+                n += 1
+    return _entropy_end(data, rdr.pos)
+
+
+def _reconstruct_luma(coef: np.ndarray, comps, quant,
+                      w: int, h: int) -> tuple[int, int, float]:
+    """Dequantize + IDCT the progressive luma coefficient store."""
+    q = np.zeros(64)
+    q[ZIGZAG] = quant[comps[0][3]].astype(np.float64)
+    nby, nbx = coef.shape[:2]
+    ydata = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = np.zeros(64)
+            blk[ZIGZAG] = coef[by, bx]
+            px = DCT_C.T @ (blk.reshape(8, 8) * q.reshape(8, 8)) @ DCT_C
+            ydata[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = px + 128.0
     luma = np.clip(ydata[:h, :w], 0, 255)
     return int(w), int(h), round(float(luma.mean()) / 255.0, 9)
 
@@ -524,4 +761,239 @@ def encode_jpeg(img: np.ndarray, subsampling: str = "444",
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encoder
+
+# Annex K AC tables carry no EOBn symbols (r<<4 with r>0, s=0) — real
+# progressive encoders ship custom DHTs. This generic table assigns
+# every symbol the encoder can emit (runs 0-15 x sizes 0-10, so all
+# EOBn up to EOB14 plus ZRL) a flat 9-bit canonical code: prefix-free,
+# well within the 16-bit limit, poor compression, perfect fixture.
+PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    sorted((r << 4) | s for r in range(16) for s in range(11)),
+)
+
+
+def _rgb_to_planes(img: np.ndarray):
+    """(h, w[,3]) uint8 -> list of (float plane, quant table id);
+    4:4:4 / grayscale only (fixture path)."""
+    if img.ndim == 2:
+        return [(img.astype(np.float64), 0)]
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [(np.clip(y, 0, 255), 0), (np.clip(cb, 0, 255), 1),
+            (np.clip(cr, 0, 255), 1)]
+
+
+def _quantize_blocks(plane: np.ndarray, quant_nat: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) int32 zigzag-order quantized coefficients."""
+    h, w = plane.shape
+    nby, nbx = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    out = np.zeros((nby, nbx, 64), dtype=np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = padded[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] - 128.0
+            q = np.round((DCT_C @ blk @ DCT_C.T) / quant_nat).astype(np.int64)
+            out[by, bx] = q.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _flush_eobrun(bw: "_BitWriter", ac_map, state: dict) -> None:
+    """Emit the pending EOBn symbol + its buffered correction bits."""
+    eb = state["eobrun"]
+    if eb > 0:
+        nbits = eb.bit_length() - 1
+        ln, code = ac_map[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eb - (1 << nbits), nbits)
+        state["eobrun"] = 0
+    for b in state["pend"]:
+        bw.write(b, 1)
+    state["pend"] = []
+
+
+def _enc_ac_first_block(bw, ac_map, zz, ss, se, al, state) -> None:
+    """One block of a progressive AC FIRST scan (Ah=0): point-
+    transformed coefficients with shared EOB runs (T.81 G.1.2.2)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = -((-v) >> al) if v < 0 else v >> al  # round toward zero
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_map, state)
+        while r > 15:
+            ln, code = ac_map[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s, bits = _enc_coeff(t)
+        ln, code = ac_map[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_map, state)
+
+
+def _enc_ac_refine_block(bw, ac_map, zz, ss, se, al, state) -> None:
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1): the
+    jcphuff.c encode_mcu_AC_refine control flow — newly-significant
+    coefficients coded as (run, 1)+sign, history coefficients as
+    buffered correction bits, trailing zeros joined into EOB runs."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss]:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(bw, ac_map, state)
+            ln, code = ac_map[0xF0]
+            bw.write(code, ln)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            r -= 16
+        if t > 1:  # significant in an earlier scan: correction bit
+            br.append(t & 1)
+            continue
+        _flush_eobrun(bw, ac_map, state)
+        ln, code = ac_map[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pend"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, ac_map, state)
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JPEG bytes from (h, w) grayscale or (h, w, 3)
+    RGB uint8, 4:4:4, Annex K tables. Scan script exercises every
+    decoder path: interleaved DC first (Al=1) + DC refinement, luma AC
+    spectral bands at Al=2 with EOB runs, two AC refinement passes
+    (2→1→0), chroma AC scans (which the decoder hops over), optional
+    restart markers. decode_jpeg of this stream must equal decode_jpeg
+    of encode_jpeg(img) on dims and match closely on mean luma (the
+    coefficients are identical once all scans land)."""
+    h, w = img.shape[:2]
+    planes = _rgb_to_planes(img)
+    gray = len(planes) == 1
+    quants_nat = [QUANT_LUMA.reshape(8, 8).astype(np.float64),
+                  QUANT_CHROMA.reshape(8, 8).astype(np.float64)]
+    coefs = [_quantize_blocks(p, quants_nat[tq]) for p, tq in planes]
+    nby, nbx = coefs[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00])
+                + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01])
+                    + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)))
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, planes[i][1]])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    for tc, th, (bits, vals) in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, PROG_AC_TABLE),
+        *(() if gray else ((0, 1, HUFF_DC_CHROMA), (1, 1, PROG_AC_TABLE))),
+    ):
+        out += _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    dc_maps = [_huff_encode_map(*HUFF_DC_LUMA),
+               _huff_encode_map(*HUFF_DC_CHROMA)]
+    ac_maps = [_huff_encode_map(*PROG_AC_TABLE),
+               _huff_encode_map(*PROG_AC_TABLE)]
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            ti = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (ti << 4) | ti])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(al, refine):
+        nonlocal out
+        out += sos_hdr(list(range(nc)), 0, 0, al + 1 if refine else 0, al)
+        bw = _BitWriter()
+        preds = [0] * nc
+        n = rst = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    bw.flush()
+                    out += bw.out + bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    bw = _BitWriter()
+                    preds = [0] * nc
+                for ci in range(nc):
+                    v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic
+                    if refine:
+                        bw.write(v & 1, 1)
+                    else:
+                        t, bits = _enc_coeff(v - preds[ci])
+                        preds[ci] = v
+                        ln, code = dc_maps[0 if ci == 0 else 1][t]
+                        bw.write(code, ln)
+                        bw.write(bits, t)
+                n += 1
+        bw.flush()
+        out += bw.out
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos_hdr([ci], ss, se, ah, al)
+        bw = _BitWriter()
+        amap = ac_maps[0 if ci == 0 else 1]
+        state = {"eobrun": 0, "pend": []}
+        n = rst = 0
+        enc = _enc_ac_refine_block if ah else _enc_ac_first_block
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    _flush_eobrun(bw, amap, state)
+                    bw.flush()
+                    out += bw.out + bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    bw = _BitWriter()
+                n += 1
+                enc(bw, amap, coefs[ci][by, bx], ss, se, al, state)
+        _flush_eobrun(bw, amap, state)
+        bw.flush()
+        out += bw.out
+
+    dc_scan(1, refine=False)              # DC first, Al=1 (interleaved)
+    ac_scan(0, 1, 5, 0, 2)                # luma AC band 1-5 first, Al=2
+    ac_scan(0, 6, 63, 0, 2)               # luma AC band 6-63 first, Al=2
+    for ci in range(1, nc):               # chroma full-precision scans
+        ac_scan(ci, 1, 63, 0, 0)
+    ac_scan(0, 1, 63, 2, 1)               # luma AC refine 2 -> 1
+    ac_scan(0, 1, 63, 1, 0)               # luma AC refine 1 -> 0
+    dc_scan(0, refine=True)               # DC refine 1 -> 0 (interleaved)
+    out += b"\xff\xd9"
     return bytes(out)

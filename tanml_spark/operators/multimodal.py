@@ -13,7 +13,11 @@ Decode status by format:
   (pure-python huffman + numpy IDCT: SOF0, any sampling factors up to
   2x2 incl. 4:2:0, restart markers; luma-only inverse transform). Full
   encode→decode roundtrips are tested for every format.
-- **Honest absence**: progressive/arithmetic JPEG and MP4 need
+- **Metadata-level decode** (round 6): MP4/ISO-BMFF width, height and
+  duration via pure box-header walking (``decode_mp4_meta`` —
+  moov/mvhd/tkhd, no codec needed), so video rows carry real dims
+  with decode_ok=True at the metadata level.
+- **Honest absence**: arithmetic-coded JPEG and MP4 FRAME decode need
   libjpeg/ffmpeg-class codecs this environment lacks —
   ``extract_media_features`` marks such rows decode_ok=False (never
   fakes values); the legacy ``_decode_image`` stub remains for the
@@ -211,6 +215,105 @@ def decode_bmp(data: bytes) -> tuple[int, int, float]:
     return w, h, round(float(luma.mean()) / 255.0, 9)
 
 
+def encode_mp4(width: int, height: int, duration_sec: float,
+               timescale: int = 1000) -> bytes:
+    """Minimal VALID ISO-BMFF (MP4) container bytes: ftyp +
+    moov(mvhd + trak(tkhd)) + a small mdat — enough structure for any
+    box-walking metadata reader (and this module's decode_mp4_meta);
+    fixture/test use, no codec payload."""
+    import struct
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    matrix = struct.pack(">9i", 0x00010000, 0, 0,
+                         0, 0x00010000, 0,
+                         0, 0, 0x40000000)
+    d = int(round(duration_sec * timescale))
+    mvhd = (bytes(4)                      # version 0 + flags
+            + struct.pack(">II", 0, 0)    # creation/modification
+            + struct.pack(">II", timescale, d)
+            + struct.pack(">I", 0x00010000)  # rate 1.0
+            + struct.pack(">H", 0x0100)      # volume 1.0
+            + bytes(2) + bytes(8)            # reserved
+            + matrix + bytes(24)             # pre_defined
+            + struct.pack(">I", 2))          # next_track_ID
+    tkhd = (b"\x00\x00\x00\x07"           # version 0, enabled flags
+            + struct.pack(">II", 0, 0)    # creation/modification
+            + struct.pack(">I", 1)        # track_ID
+            + bytes(4)                    # reserved
+            + struct.pack(">I", d)        # duration (movie timescale)
+            + bytes(8)                    # reserved
+            + struct.pack(">hhH", 0, 0, 0)  # layer, alt_group, volume
+            + bytes(2)                    # reserved
+            + matrix
+            + struct.pack(">II", width << 16, height << 16))  # 16.16
+    return (box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+            + box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+            + box(b"mdat", bytes(16)))
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, box_end) for top-level boxes in
+    [start, end) — ISO-BMFF sizes incl. 64-bit largesize and
+    size==0 (to end-of-file)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def decode_mp4_meta(data: bytes) -> tuple[int, int, float]:
+    """(width, height, duration_sec) from MP4/ISO-BMFF bytes by PURE
+    box-header walking — moov/mvhd carries timescale+duration,
+    moov/trak/tkhd the 16.16 fixed-point presentation dims. No codec
+    involved (r05 VERDICT #3: metadata-level video features are
+    cheaply real; FRAME decode remains honestly stubbed). Dims are the
+    max across tracks (audio tracks carry 0x0)."""
+    import struct
+
+    w = h = 0
+    dur = 0.0
+    saw_moov = False
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        saw_moov = True
+        for bt2, s2, e2 in _mp4_boxes(data, s, e):
+            if bt2 == b"mvhd":
+                ver = data[s2]
+                if ver == 1:
+                    ts, d = struct.unpack_from(">IQ", data, s2 + 4 + 16)
+                else:
+                    ts, d = struct.unpack_from(">II", data, s2 + 4 + 8)
+                if ts:
+                    dur = d / ts
+            elif bt2 == b"trak":
+                for bt3, s3, _e3 in _mp4_boxes(data, s2, e2):
+                    if bt3 != b"tkhd":
+                        continue
+                    ver = data[s3]
+                    off = s3 + 4 + (32 if ver == 1 else 20) + 16 + 36
+                    tw, th = struct.unpack_from(">II", data, off)
+                    w, h = max(w, tw >> 16), max(h, th >> 16)
+    if not saw_moov:
+        raise ValueError("not an MP4 (no moov box)")
+    return w, h, round(dur, 6)
+
+
 def encode_png(rgb: np.ndarray) -> bytes:
     """Minimal PNG encoder (stdlib zlib; filter 0 rows) from an
     (h, w, 3) or (h, w, 4) uint8 array — test/fixture use."""
@@ -402,6 +505,12 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                         from tanml_spark.operators.jpeg import decode_jpeg
                         w, h, luma = decode_jpeg(data)
                         rec.update(width=w, height=h, mean_luma=luma,
+                                   decode_ok=True)
+                    elif mime in ("video/mp4", "video/quicktime"):
+                        # metadata-level decode (r06): container box
+                        # walk, no codec — FRAME decode stays stubbed
+                        w, h, dur = decode_mp4_meta(data)
+                        rec.update(width=w, height=h, duration_sec=dur,
                                    decode_ok=True)
                 except Exception:  # malformed media: flagged, never fatal
                     rec["decode_ok"] = False

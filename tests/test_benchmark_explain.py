@@ -112,3 +112,60 @@ def test_shap_values_additivity_and_ranking(credit):
     a = sorted(map(tuple, sv.select("id", "feature", "shap_value").collect()))
     b = sorted(map(tuple, sv2.select("id", "feature", "shap_value").collect()))
     assert a == b
+
+
+def test_linear_shap_exact(spark, credit):
+    """Closed-form linear SHAP (shap_check.py:164 LinearExplainer
+    parity, r06): phi_i = w_i (x_i - mu_i) verified against
+    (a) hand-computed values, (b) the permutation path on the same
+    margin function (exact agreement — permutation Shapley of a linear
+    f is order-independent), (c) exact additivity; and the plan stays
+    pure column arithmetic (no Python evaluation node)."""
+    import numpy as np
+
+    from tanml_spark.checks.explainability import (
+        linear_margin_fn,
+        linear_shap_values,
+        shap_values,
+    )
+
+    train, test = credit
+    feats = FEATURES[:3]
+    w = np.array([0.5, -2.0, 0.125])
+    b = 0.75
+    bg = np.array([[1.0, 2.0, 3.0],
+                   [3.0, 0.0, 5.0],
+                   [2.0, 4.0, 1.0]])
+    mu = bg.mean(axis=0)
+
+    sv = linear_shap_values(test, feats, w, b, bg, test_n=12,
+                            id_col="id").cache()
+    pdf = sv.toPandas()
+    assert len(pdf) == 12 * len(feats)
+
+    # (a) hand-computed phi per row
+    xw = pdf.pivot(index="id", columns="feature", values="x_value")[feats]
+    phiw = pdf.pivot(index="id", columns="feature",
+                     values="shap_value")[feats]
+    expected = (xw.to_numpy(float) - mu) * w
+    assert np.allclose(phiw.to_numpy(float), expected, atol=1e-12)
+
+    # (b) permutation path on the SAME margin function: exact agreement
+    fn = linear_margin_fn(w, b)
+    sp = shap_values(test, feats, fn, bg, max_evals=60, test_n=12,
+                     id_col="id").toPandas()
+    sp_piv = sp.pivot(index="id", columns="feature",
+                      values="shap_value")[feats]
+    assert np.allclose(phiw.to_numpy(float),
+                       sp_piv.loc[phiw.index].to_numpy(float), atol=1e-9)
+
+    # (c) additivity: sum(phi) + base == margin(x), exactly
+    base = pdf["base_value"].iloc[0]
+    assert base == pytest.approx(float(w @ mu + b), abs=1e-12)
+    phi_sum = pdf.groupby("id")["shap_value"].sum().loc[xw.index].to_numpy()
+    assert np.allclose(phi_sum + base, fn(xw.to_numpy(float)), atol=1e-9)
+
+    # (d) no Python execution in the plan — literal-weight expressions
+    plan = sv._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, node

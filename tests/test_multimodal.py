@@ -240,3 +240,78 @@ def test_real_media_includes_png_and_is_partition_invariant(spark):
                  gen_real_media(spark, 48).repartition(5)).collect()}
     assert {k: (v["sha256"], v["mean_luma"]) for k, v in feats.items()} == \
            {k: (v["sha256"], v["mean_luma"]) for k, v in again.items()}
+
+
+def test_mp4_metadata_roundtrip_and_golden():
+    """MP4 container metadata (r06): encode a minimal ISO-BMFF file,
+    decode (width, height, duration) back by pure box walking; golden
+    byte anchors pin the container layout; v1 boxes, 64-bit largesize
+    and truncation are covered."""
+    import struct
+
+    from tanml_spark.operators.multimodal import decode_mp4_meta, encode_mp4
+
+    data = encode_mp4(640, 360, 12.5)
+    # golden structure: ftyp first, then moov, then mdat
+    assert data[4:8] == b"ftyp" and data[8:12] == b"isom"
+    moov_off = 8 + struct.unpack_from(">I", data, 0)[0] - 8
+    assert b"moov" in data and b"mvhd" in data and b"tkhd" in data
+    # deterministic bytes (fixture stability)
+    assert data == encode_mp4(640, 360, 12.5)
+    w, h, dur = decode_mp4_meta(data)
+    assert (w, h, dur) == (640, 360, 12.5)
+
+    # version-1 mvhd/tkhd (64-bit times) parse identically
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    matrix = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                         0, 0, 0x40000000)
+    ts, d = 90000, 90000 * 7
+    mvhd1 = (b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+             + struct.pack(">IQ", ts, d) + struct.pack(">I", 0x00010000)
+             + struct.pack(">H", 0x0100) + bytes(2) + bytes(8)
+             + matrix + bytes(24) + struct.pack(">I", 2))
+    tkhd1 = (b"\x01\x00\x00\x07" + struct.pack(">QQ", 0, 0)
+             + struct.pack(">I", 1) + bytes(4) + struct.pack(">Q", d)
+             + bytes(8) + struct.pack(">hhH", 0, 0, 0) + bytes(2)
+             + matrix + struct.pack(">II", 1920 << 16, 1080 << 16))
+    v1 = (box(b"ftyp", b"isom" + struct.pack(">I", 512))
+          + box(b"moov", box(b"mvhd", mvhd1)
+                + box(b"trak", box(b"tkhd", tkhd1))))
+    assert decode_mp4_meta(v1) == (1920, 1080, 7.0)
+
+    # 64-bit largesize header on mdat still walks
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 24) + bytes(8)
+    assert decode_mp4_meta(data[:moov_off] + data[moov_off:-24] + big_mdat)[:2] \
+        == (640, 360)
+
+    # garbage / truncated: raises, never fakes
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_mp4_meta(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError):
+        decode_mp4_meta(data[: len(data) // 3] + b"\xff")
+
+
+def test_extract_media_features_mp4(spark):
+    """Video rows get REAL metadata dims + duration with
+    decode_ok=True; corrupt video stays flagged."""
+    from tanml_spark.operators.multimodal import (encode_mp4,
+                                                  extract_media_features)
+
+    rows = [
+        (1, "video/mp4", bytearray(encode_mp4(1280, 720, 33.25)), {}),
+        (2, "video/quicktime", bytearray(encode_mp4(320, 240, 2.0)), {}),
+        (3, "video/mp4", bytearray(b"notanmp4" * 4), {}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, mime string, data binary, meta map<string,string>")
+    out = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert out[1]["decode_ok"] and (out[1]["width"], out[1]["height"]) == (1280, 720)
+    assert abs(out[1]["duration_sec"] - 33.25) < 1e-9
+    assert out[2]["decode_ok"] and out[2]["width"] == 320
+    assert not out[3]["decode_ok"] and out[3]["width"] == 0
+    assert out[1]["kind"] == "video"

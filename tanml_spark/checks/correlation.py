@@ -164,7 +164,7 @@ RANK_BROADCAST_MAX = 1_000_000  # TOTAL distinct ceiling (summed over
 
 def rank_transform(
     df: DataFrame, columns: list[str],
-    max_broadcast: int = RANK_BROADCAST_MAX,
+    max_broadcast: int | None = None,
 ) -> DataFrame:
     """Replace columns by average ranks (Spearman prep). Two plans,
     picked by a one-action LIMIT PROBE of the condensed counts (the
@@ -186,7 +186,15 @@ def rank_transform(
     r06 (ADVICE): the condensed counts frame is persisted BEFORE the
     probe, so when the probe overflows the same materialized counts
     feed the distributed path's rank arithmetic — the melt+groupBy
-    shuffle never runs twice."""
+    shuffle never runs twice. ``max_broadcast`` defaults through the
+    ``TANML_RANK_DRIVER_MAX`` knob (tanml_spark/config.py); 0 forces
+    the distributed path."""
+    if max_broadcast is None:
+        from tanml_spark.config import driver_budget as _resolve
+
+        max_broadcast = _resolve("rank", RANK_BROADCAST_MAX)
+    if not max_broadcast:
+        return _rank_transform_distributed(df, columns)
     out, cond = _rank_transform_broadcast(df, columns, budget=max_broadcast)
     if out is not None:
         return out

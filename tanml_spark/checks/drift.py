@@ -359,7 +359,7 @@ PSI_AUTO_CARDINALITY = 100_000  # per-column distinct estimate above which
 
 
 def psi_driver_from_condensed(
-    cond: DataFrame, bins: int = 10, driver_budget: int = KS_DRIVER_MAX,
+    cond: DataFrame, bins: int = 10, driver_budget: int | None = None,
 ) -> DataFrame | None:
     """Driver-numpy PSI behind the same one-action limit probe as the
     KS fast path: a probe within ``driver_budget`` IS the complete
@@ -369,8 +369,13 @@ def psi_driver_from_condensed(
     caller falls back to the distributed plan."""
     import numpy as np
 
+    from tanml_spark.config import driver_budget as _resolve
     from tanml_spark.suite import psi_from_counts  # lazy sibling import
 
+    if driver_budget is None:
+        driver_budget = _resolve("ks", KS_DRIVER_MAX)
+    if not driver_budget:
+        return None
     spark = cond.sparkSession
     pdf = cond.limit(driver_budget + 1).toPandas()
     if len(pdf) > driver_budget:
@@ -393,17 +398,22 @@ def psi_driver_from_condensed(
 def psi_table(
     expected: DataFrame, actual: DataFrame, columns: list[str], bins: int = 10,
     mode: str = "condensed",
-    driver_budget: int = KS_DRIVER_MAX,
+    driver_budget: int | None = None,
 ) -> DataFrame:
     """Per-column PSI: returns (column, psi). NaN when a side is empty.
 
     mode: "condensed" (exact sufficient statistics, also feed KS;
     low-cardinality inputs finish on the driver via the same
-    limit-probe fast path as ks_table — set ``driver_budget=0`` to
-    force the distributed plan), "binned" (bucket-first, O(bins·k)
+    limit-probe fast path as ks_table — set ``driver_budget=0`` or the
+    ``TANML_KS_DRIVER_MAX`` env knob (tanml_spark/config.py) to force
+    the distributed plan), "binned" (bucket-first, O(bins·k)
     shuffle — continuous columns at corpus scale), or "auto" (one
     approx_count_distinct pre-pass picks per the PSI_AUTO_CARDINALITY
     threshold)."""
+    from tanml_spark.config import driver_budget as _resolve
+
+    if driver_budget is None:
+        driver_budget = _resolve("ks", KS_DRIVER_MAX)
     if mode == "binned":
         return psi_bins(expected, actual, columns, bins)
     if mode == "auto":
@@ -431,7 +441,7 @@ def psi_table(
 
 def ks_table(
     expected: DataFrame, actual: DataFrame, columns: list[str],
-    max_driver: int = KS_DRIVER_MAX,
+    max_driver: int | None = None,
 ) -> DataFrame:
     """Exact two-sample KS statistic per column: (column, ks_stat, n_e, n_a).
 
@@ -439,9 +449,16 @@ def ks_table(
     (one action; complete-within-budget probes finish on the driver);
     only a truncated probe — genuinely high cardinality — falls
     through to the distributed prefix plan, which derives its bucket
-    cutpoints from the condensed table itself."""
+    cutpoints from the condensed table itself. ``max_driver`` defaults
+    through the ``TANML_KS_DRIVER_MAX`` knob (tanml_spark/config.py);
+    0 forces the distributed plan."""
+    from tanml_spark.config import driver_budget as _resolve
+
+    if max_driver is None:
+        max_driver = _resolve("ks", KS_DRIVER_MAX)
     return ks_from_condensed(
-        condense(expected, actual, columns), driver_budget=max_driver
+        condense(expected, actual, columns),
+        driver_budget=max_driver or None,
     )
 
 

@@ -195,7 +195,9 @@ def roc_auc(df: DataFrame, label_col: str = "label",
     import numpy as np
 
     if driver_budget is None:
-        driver_budget = CV_DRIVER_MAX
+        from tanml_spark.config import driver_budget as _resolve
+
+        driver_budget = _resolve("cv", CV_DRIVER_MAX)
     cond = condensed_scores(df, label_col, score_col)
     if driver_budget:
         pdf = cond.limit(driver_budget + 1).toPandas()
@@ -405,7 +407,7 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
                     pred_col: str = "prediction", score_col: str | None = None,
                     id_col: str | None = None,
                     fold_col: str | None = None,
-                    driver_budget: int = CV_DRIVER_MAX) -> DataFrame:
+                    driver_budget: int | None = None) -> DataFrame:
     """Per-fold battery over PRECOMPUTED predictions, one row per fold:
     (fold, n, accuracy, precision, recall, f1, balanced_accuracy, mcc
     [, roc_auc, pr_auc, ks, gini, brier, log_loss]).
@@ -424,7 +426,13 @@ def cv_fold_metrics(df: DataFrame, n_folds: int = 5, label_col: str = "label",
     per-group sums skips exactly the rows the global sum skipped.
     Without a score column the battery is the original single
     groupBy(fold) agg — already one shuffle. Folds are content-hash
-    deterministic when id_col is None (cv.py:81-203 analog)."""
+    deterministic when id_col is None (cv.py:81-203 analog).
+    ``driver_budget`` defaults through the ``TANML_CV_DRIVER_MAX``
+    knob (tanml_spark/config.py); 0 forces the distributed plan."""
+    if driver_budget is None:
+        from tanml_spark.config import driver_budget as _resolve
+
+        driver_budget = _resolve("cv", CV_DRIVER_MAX)
     if fold_col is not None:
         d = df.withColumn("fold", F.col(fold_col).cast("int"))
     else:

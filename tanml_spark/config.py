@@ -1,0 +1,54 @@
+"""Engine tuning knobs — ONE documented surface (r05 VERDICT #6).
+
+Every driver fast path in the engine follows the same probe pattern:
+materialize a condensed/sufficient-statistic frame, and finish the
+computation driver-side iff it fits a row budget; past the budget the
+tested distributed plan runs instead. The budgets default to ~10^6
+condensed rows (tens of MB on a 128 GiB driver) but memory-constrained
+drivers must be able to shrink them — or force the distributed plans
+outright — without editing source.
+
+Resolution order for each budget (first hit wins):
+
+1. ``TANML_<NAME>_DRIVER_MAX``  — per-knob env var
+2. ``TANML_DRIVER_BUDGET``      — global env var, applies to every knob
+3. the knob's built-in default
+
+Knob names (see each site's docstring for exact semantics):
+
+- ``CC``   — connected-components union-find edge budget
+             (operators/dedup.py, default 2,000,000)
+- ``CV``   — cv/metrics condensed battery budget
+             (checks/metrics.py, default 1,000,000)
+- ``KS``   — KS/PSI condensed drift budget
+             (checks/drift.py, default 1,000,000)
+- ``RANK`` — rank-transform broadcast ceiling
+             (checks/correlation.py, default 1,000,000)
+
+Set a budget to 0 to force the distributed path (the standard way to
+smoke-test the at-scale plan on small data):
+
+    TANML_DRIVER_BUDGET=0 spark-submit ... jobs/validate.py ...
+
+Resolution happens per CALL, not per import, so tests and notebooks
+can flip budgets at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def driver_budget(name: str, default: int) -> int:
+    """Resolve the ``name`` driver-probe budget (see module doc)."""
+    for var in (f"TANML_{name.upper()}_DRIVER_MAX", "TANML_DRIVER_BUDGET"):
+        raw = os.environ.get(var)
+        if raw is not None:
+            try:
+                v = int(raw)
+            except ValueError as exc:
+                raise ValueError(f"{var}={raw!r} is not an integer") from exc
+            if v < 0:
+                raise ValueError(f"{var} must be >= 0, got {v}")
+            return v
+    return default

@@ -230,10 +230,88 @@ FROM conf c JOIN auc u ON c.model = u.model
 """
 
 
+def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL incremental re-validation flow (r05 VERDICT #5 — the
+    checkpointed-batch resume diff was pytest-only): snapshot 1 =
+    orders with o_orderkey % 4 != 0 is validated into a fresh seen-
+    state, then the FULL table arrives and ``incremental_validate``
+    must anti-join away every already-seen row hash and emit verdicts
+    for the delta only (o_orderkey % 4 == 0 — orders rows are content-
+    unique, so hash membership ≡ key membership and the oracle can
+    recompute the delta exactly). Partitioned on the raw
+    o_orderpriority value (n_buckets=0) so the key is SQL-portable."""
+    import shutil
+    import tempfile
+
+    from tanml_spark.streaming.incremental import incremental_validate
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        {"type": "range", "column": "o_totalprice", "min": 5000.0,
+         "name": "price_floor", "fail_frac": 0.05},
+        {"type": "in_set", "column": "o_orderstatus", "values": ["O", "F"],
+         "name": "status_known", "fail_frac": 0.2},
+        {"type": "not_null", "column": "o_orderdate", "name": "date_set"},
+    ]
+    state = tempfile.mkdtemp(prefix="tanml_q46_state_")
+    try:
+        base = orders.filter(F.col("o_orderkey") % 4 != 0)
+        incremental_validate(spark, base, rules, state,
+                             partition_key_col="o_orderpriority", n_buckets=0)
+        out = incremental_validate(spark, orders, rules, state,
+                                   partition_key_col="o_orderpriority",
+                                   n_buckets=0)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out.orderBy("partition_key", "rule_id")
+
+
+SQL_INCREMENTAL_DELTA = """
+WITH delta AS (
+  -- rows of snapshot 2 whose content hash is NOT in the seen state ==
+  -- exactly the rows with o_orderkey % 4 = 0 (orders are content-unique)
+  SELECT * FROM orders WHERE o_orderkey % 4 = 0
+), agg AS (
+  SELECT o_orderpriority AS partition_key,
+    count(*) AS n_rows,
+    sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 5000.0
+             THEN 1 ELSE 0 END) AS v_price,
+    sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F')
+             THEN 1 ELSE 0 END) AS v_status,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date
+  FROM delta GROUP BY 1
+), stacked AS (
+  SELECT partition_key, 'price_floor' AS rule_id, n_rows,
+         v_price AS violations, 0.0 AS warn_frac, 0.05 AS fail_frac
+  FROM agg
+  UNION ALL
+  SELECT partition_key, 'status_known', n_rows, v_status, 0.0, 0.2 FROM agg
+  UNION ALL
+  SELECT partition_key, 'date_set', n_rows, v_date, 0.0, 0.05 FROM agg
+), frac AS (
+  SELECT partition_key, rule_id, n_rows::BIGINT AS n_rows,
+         violations::BIGINT AS violations,
+         round(CASE WHEN n_rows > 0
+                    THEN violations::DOUBLE / n_rows ELSE 0.0 END, 9)
+           AS violation_frac,
+         warn_frac, fail_frac
+  FROM stacked
+)
+SELECT partition_key, rule_id, n_rows, violations, violation_frac,
+  CASE WHEN violation_frac > fail_frac THEN 'fail'
+       WHEN violation_frac > warn_frac THEN 'warning'
+       ELSE 'pass' END AS status
+FROM frac
+ORDER BY partition_key, rule_id
+"""
+
+
 def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stress_deltas": q_stress_deltas,
         "benchmark_closed_form": q_benchmark_closed_form,
+        "incremental_delta": q_incremental_delta,
     }
 
 
@@ -241,4 +319,5 @@ def all_oracles4() -> dict[str, str]:
     return {
         "stress_deltas": SQL_STRESS_DELTAS,
         "benchmark_closed_form": SQL_BENCHMARK_CLOSED_FORM,
+        "incremental_delta": SQL_INCREMENTAL_DELTA,
     }

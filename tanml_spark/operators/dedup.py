@@ -392,7 +392,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    driver_budget: int = CC_DRIVER_MAX,
+    driver_budget: int | None = None,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs → (id, cluster_id), where
     cluster_id = min doc id in the connected component. The step every
@@ -423,6 +423,14 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    if driver_budget is None:
+        # TANML_CC_DRIVER_MAX / TANML_DRIVER_BUDGET env knobs
+        # (tanml_spark/config.py) — r05 VERDICT #6: the 2M-edge budget
+        # materializes ~tens of MB on the driver; memory-constrained
+        # drivers shrink it (or 0 it) without editing source
+        from tanml_spark.config import driver_budget as _resolve
+
+        driver_budget = _resolve("cc", CC_DRIVER_MAX)
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     probed = False
     if driver_budget:

@@ -40,7 +40,10 @@ def incremental_validate(
 
     Returns the verdicts for the NEW rows; appends their hashes to the
     seen-state. Two consecutive runs over the same table: second run
-    validates zero rows.
+    validates zero rows. ``n_buckets=0`` uses the raw
+    ``partition_key_col`` value as the partition key (a table already
+    partitioned by a low-cardinality column needs no hash bucketing —
+    and the key stays oracle-recomputable, r06 query 46).
     """
     seen_path = os.path.join(state_dir, "seen_hashes")
     hashed = df.withColumn("__row_hash", row_sha256(df.schema))
@@ -52,9 +55,11 @@ def incremental_validate(
     else:
         fresh = hashed
 
-    keyed = fresh.withColumn(
-        "partition_key", logical_partition(F.col(partition_key_col), n_buckets).cast("string")
+    key = (
+        logical_partition(F.col(partition_key_col), n_buckets)
+        if n_buckets else F.col(partition_key_col)
     )
+    keyed = fresh.withColumn("partition_key", key.cast("string"))
     verdicts = check_constraints(keyed, rules, group_by=["partition_key"])
     # Materialize to rows BEFORE mutating state: appending to seen_path
     # invalidates any cached plan that scans it (Spark refreshes caches

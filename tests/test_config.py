@@ -1,0 +1,112 @@
+"""Engine config knobs (tanml_spark/config.py, r05 VERDICT #6): one
+documented env surface gates every driver-probe fast path; setting a
+budget to 0 forces the tested distributed plan with identical results."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tanml_spark.config import driver_budget
+
+
+def test_resolution_order(monkeypatch):
+    monkeypatch.delenv("TANML_CC_DRIVER_MAX", raising=False)
+    monkeypatch.delenv("TANML_DRIVER_BUDGET", raising=False)
+    assert driver_budget("cc", 123) == 123            # default
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "55")
+    assert driver_budget("cc", 123) == 55             # global
+    assert driver_budget("ks", 9) == 55
+    monkeypatch.setenv("TANML_CC_DRIVER_MAX", "7")
+    assert driver_budget("cc", 123) == 7              # per-knob wins
+    assert driver_budget("ks", 9) == 55
+
+
+def test_bad_values_raise(monkeypatch):
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "lots")
+    with pytest.raises(ValueError):
+        driver_budget("cc", 1)
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "-3")
+    with pytest.raises(ValueError):
+        driver_budget("cc", 1)
+
+
+def test_zero_budget_forces_distributed_paths(spark, monkeypatch):
+    """TANML_DRIVER_BUDGET=0: the driver fast paths must NOT run (their
+    entry points are tripwired) and the distributed plans must return
+    the same answers the fast paths give by default."""
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "0")
+
+    def tripwire(name):
+        def boom(*a, **k):
+            raise AssertionError(f"{name} driver fast path ran at budget 0")
+        return boom
+
+    # ---- connected components ----
+    import tanml_spark.operators.dedup as dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 1)], "id_a long, id_b long")
+    want = {(1, 1), (2, 1), (3, 1), (5, 1), (10, 10), (11, 10)}
+    monkeypatch.delenv("TANML_DRIVER_BUDGET")
+    got_fast = {(r["id"], r["cluster_id"])
+                for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "0")
+    monkeypatch.setattr(dedup, "_cc_driver", tripwire("_cc_driver"))
+    got_slow = {(r["id"], r["cluster_id"])
+                for r in dedup.connected_components(pairs).collect()}
+    assert got_fast == got_slow == want
+
+    # ---- KS / PSI ----
+    import tanml_spark.checks.drift as drift
+
+    rng = np.random.default_rng(3)
+    e = spark.createDataFrame(pd.DataFrame({"x": rng.normal(size=800)}))
+    a = spark.createDataFrame(pd.DataFrame({"x": rng.normal(0.4, 1, 700)}))
+    monkeypatch.delenv("TANML_DRIVER_BUDGET")
+    ks_fast = drift.ks_table(e, a, ["x"]).collect()[0]["ks_stat"]
+    psi_fast = drift.psi_table(e, a, ["x"]).collect()[0]["psi"]
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "0")
+    monkeypatch.setattr(drift, "psi_driver_from_condensed",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("psi fast path ran")))
+    ks_slow = drift.ks_table(e, a, ["x"]).collect()[0]["ks_stat"]
+    psi_slow = drift.psi_table(e, a, ["x"]).collect()[0]["psi"]
+    assert ks_slow == pytest.approx(ks_fast, abs=1e-12)
+    assert psi_slow == pytest.approx(psi_fast, abs=1e-12)
+
+    # ---- cv battery ----
+    import tanml_spark.checks.metrics as metrics
+
+    scored = spark.createDataFrame(pd.DataFrame({
+        "label": rng.integers(0, 2, 400),
+        "prediction": rng.integers(0, 2, 400),
+        "score": rng.random(400).round(3),
+    }))
+    monkeypatch.delenv("TANML_DRIVER_BUDGET")
+    fast = metrics.cv_fold_metrics(scored, n_folds=3, score_col="score",
+                                   fold_col=None).orderBy("fold").collect()
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "0")
+    monkeypatch.setattr(metrics, "_cv_driver_from_condensed",
+                        tripwire("_cv_driver_from_condensed"))
+    slow = metrics.cv_fold_metrics(scored, n_folds=3, score_col="score",
+                                   fold_col=None).orderBy("fold").collect()
+    assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
+
+    # ---- rank transform ----
+    import tanml_spark.checks.correlation as corr
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "u": rng.normal(size=300), "v": rng.integers(0, 5, 300).astype(float),
+    }))
+    monkeypatch.delenv("TANML_DRIVER_BUDGET")
+    f_sum = corr.rank_transform(df, ["u", "v"]).agg(
+        {"u": "sum", "v": "sum"}).collect()[0]
+    monkeypatch.setenv("TANML_DRIVER_BUDGET", "0")
+    monkeypatch.setattr(
+        corr, "_rank_transform_broadcast",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("rank broadcast path ran")))
+    s_sum = corr.rank_transform(df, ["u", "v"]).agg(
+        {"u": "sum", "v": "sum"}).collect()[0]
+    assert f_sum["sum(u)"] == pytest.approx(s_sum["sum(u)"], rel=1e-12)
+    assert f_sum["sum(v)"] == pytest.approx(s_sum["sum(v)"], rel=1e-12)

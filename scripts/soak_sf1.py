@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""sf1-scale soak of the oracle query battery (r05 VERDICT #8).
+
+CORRECTNESS runs at sf0.01; this soak pushes the SAME 46 query paths
+through a 10x replication of sf0.1 (~6M lineitem rows, 50k documents)
+to catch budget-threshold crossings — a query silently flipping
+between its driver fast path and the distributed plan must not change
+its answer — and parallelism dependence. Three configurations run the
+full battery and their per-query value hashes must be identical:
+
+  A: local[32], default driver budgets      (the fast-path mix at sf1)
+  B: local[8],  default driver budgets      (parallelism invariance)
+  C: local[32], TANML_DRIVER_BUDGET=0       (every distributed plan)
+
+The worker also instruments the four probe-gated fast paths
+(connected components, cv battery, PSI, rank transform) so the report
+records which queries actually crossed their budgets at sf1.
+
+Usage:
+  python scripts/soak_sf1.py                # gen + all 3 configs + report
+  python scripts/soak_sf1.py --factor 4     # smaller soak
+  python scripts/soak_sf1.py --queries cosine_topk,psi   # subset
+
+Hashing is DISTRIBUTED (sum of per-row xxhash64 over normalized
+columns) so multi-million-row outputs never hit the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_SF = "/root/testdata/sf0.1"
+SOAK_DIR = "/tmp/tanml_soak_sf1"
+
+# key-shift offsets: comfortably above every source key domain, and
+# FK columns shift together with their parents so join fan-outs stay
+# exactly 10x, never 100x
+OFF = {"ord": 10_000_000, "cust": 1_000_000, "part": 1_000_000,
+       "supp": 100_000, "doc": 1_000_000, "vec": 1_000_000,
+       "evt": 10_000_000, "user": 10_000_000}
+
+GEN_SQL = {
+    "region": "SELECT * FROM src",
+    "nation": "SELECT * FROM src",
+    "customer": """
+        SELECT c_custkey + rep * {cust} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment FROM src CROSS JOIN reps""",
+    "orders": """
+        SELECT o_orderkey + rep * {ord} AS o_orderkey,
+               o_custkey + rep * {cust} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM src CROSS JOIN reps""",
+    "lineitem": """
+        SELECT l_orderkey + rep * {ord} AS l_orderkey,
+               l_partkey + rep * {part} AS l_partkey,
+               l_suppkey + rep * {supp} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM src CROSS JOIN reps""",
+    "part": """
+        SELECT p_partkey + rep * {part} AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice FROM src CROSS JOIN reps""",
+    "supplier": """
+        SELECT s_suppkey + rep * {supp} AS s_suppkey, s_name, s_nationkey,
+               s_acctbal FROM src CROSS JOIN reps""",
+    "documents": """
+        SELECT doc_id + rep * {doc} AS doc_id,
+               CASE WHEN rep = 0 THEN text
+                    ELSE text || ' r' || rep END AS text,
+               lang, source,
+               length(CASE WHEN rep = 0 THEN text
+                           ELSE text || ' r' || rep END) AS n_chars
+        FROM src CROSS JOIN reps""",
+    "embeddings": """
+        SELECT vec_id + rep * {vec} AS vec_id,
+               list_transform(embedding,
+                              x -> CAST(x + rep * 0.0001 AS FLOAT))
+                 AS embedding,
+               label FROM src CROSS JOIN reps""",
+    "events": """
+        SELECT event_id + rep * {evt} AS event_id, ts,
+               user_id + rep * {user} AS user_id,
+               event_type, value, props FROM src CROSS JOIN reps""",
+}
+
+
+def generate(factor: int) -> None:
+    import duckdb
+
+    os.makedirs(SOAK_DIR, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW reps AS SELECT unnest(range({factor})) AS rep")
+    for table, sql in GEN_SQL.items():
+        dst = os.path.join(SOAK_DIR, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS "
+            f"SELECT * FROM read_parquet('{SRC_SF}/{table}.parquet')")
+        q = sql.format(**OFF)
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"gen {table}: {n} rows", flush=True)
+
+
+def frame_hash(df):
+    """Order/partitioning-insensitive content hash, fully distributed:
+    sum over rows of xxhash64(normalized '|'-joined columns)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    parts = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        t = f.dataType
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            c = F.round(c.cast("double"), 6).cast("decimal(38,6)").cast("string")
+        elif isinstance(t, T.ArrayType) and isinstance(
+                t.elementType, (T.DoubleType, T.FloatType)):
+            c = F.expr(
+                f"to_json(transform(`{f.name}`,"
+                " x -> round(cast(x as double), 6)))")
+        else:
+            c = c.cast("string")
+        parts.append(F.coalesce(c, F.lit("\x00N")))
+    row = F.concat_ws("|", *parts)
+    agg = df.select(
+        F.sum(F.xxhash64(row).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return str(agg["h"]), int(agg["n"])
+
+
+def instrument_crossings(crossings: dict, current: list):
+    """Wrap the probe-gated fast paths to record, per query, whether
+    the probe engaged (fast) or overflowed to the distributed plan."""
+    import tanml_spark.checks.correlation as corr
+    import tanml_spark.checks.drift as drift
+    import tanml_spark.checks.metrics as metrics
+    import tanml_spark.operators.dedup as dedup
+
+    def note(knob, fast):
+        if current:
+            crossings.setdefault(current[0], {})[knob] = (
+                "fast" if fast else "distributed")
+
+    o_cc = dedup._cc_driver
+    dedup._cc_driver = lambda *a, **k: (
+        lambda r: (note("cc", r is not None), r)[1])(o_cc(*a, **k))
+    o_cv = metrics._cv_driver_from_condensed
+    metrics._cv_driver_from_condensed = lambda *a, **k: (
+        lambda r: (note("cv", r is not None), r)[1])(o_cv(*a, **k))
+    o_psi = drift.psi_driver_from_condensed
+    drift.psi_driver_from_condensed = lambda *a, **k: (
+        lambda r: (note("psi", r is not None), r)[1])(o_psi(*a, **k))
+    o_rank = corr._rank_transform_broadcast
+    corr._rank_transform_broadcast = lambda *a, **k: (
+        lambda r: (note("rank", r[0] is not None), r)[1])(o_rank(*a, **k))
+
+
+def worker(cores: int, out_path: str, names: list[str] | None) -> int:
+    from tanml_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(f"soak{cores}", cores=cores)
+    qs = entry_mod.queries()
+    if names:
+        qs = {k: v for k, v in qs.items() if k in names}
+    crossings: dict = {}
+    current: list = []
+    instrument_crossings(crossings, current)
+    results = {}
+    for name in sorted(qs):
+        current[:] = [name]
+        t0 = time.time()
+        try:
+            h, n = frame_hash(qs[name](spark, SOAK_DIR))
+            results[name] = {"hash": h, "rows": n,
+                             "sec": round(time.time() - t0, 2)}
+        except Exception as exc:  # recorded, not fatal — soak the rest
+            results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300],
+                             "sec": round(time.time() - t0, 2)}
+        print(f"[{cores}c] {name}: {results[name]}", flush=True)
+    with open(out_path, "w") as fh:
+        json.dump({"cores": cores,
+                   "budget_env": os.environ.get("TANML_DRIVER_BUDGET"),
+                   "results": results, "crossings": crossings}, fh, indent=1)
+    return 0
+
+
+CONFIGS = [
+    ("A_32c_default", 32, None),
+    ("B_8c_default", 8, None),
+    ("C_32c_budget0", 32, "0"),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--queries", default="",
+                    help="comma list; default = all")
+    ap.add_argument("--worker-cores", type=int, default=0,
+                    help="(internal) run one worker config")
+    ap.add_argument("--worker-out", default="")
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q] or None
+
+    if args.worker_cores:
+        return worker(args.worker_cores, args.worker_out, names)
+
+    generate(args.factor)
+    outs = {}
+    for tag, cores, budget in CONFIGS:
+        out = os.path.join(SOAK_DIR, f"soak_{tag}.json")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("TANML_DRIVER_BUDGET", None)
+        if budget is not None:
+            env["TANML_DRIVER_BUDGET"] = budget
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--worker-cores", str(cores), "--worker-out", out]
+        if args.queries:
+            cmd += ["--queries", args.queries]
+        print(f"=== {tag} ===", flush=True)
+        rc = subprocess.run(cmd, env=env, cwd=REPO).returncode
+        if rc != 0:
+            print(f"{tag} FAILED rc={rc}")
+            return rc
+        outs[tag] = json.load(open(out))
+
+    # ---- compare ----
+    a = outs["A_32c_default"]["results"]
+    report = {"factor": args.factor, "n_queries": len(a),
+              "mismatches": [], "errors": [], "crossed": {}, "held": []}
+    for name in sorted(a):
+        rows = {t: outs[t]["results"].get(name, {}) for t in outs}
+        errs = {t: r["error"] for t, r in rows.items() if "error" in r}
+        if errs:
+            report["errors"].append({name: errs})
+            continue
+        hashes = {t: r["hash"] for t, r in rows.items()}
+        if len(set(hashes.values())) != 1:
+            report["mismatches"].append({name: hashes})
+        else:
+            report["held"].append(name)
+    for t in outs:
+        for q, knobs in outs[t]["crossings"].items():
+            for knob, path in knobs.items():
+                report["crossed"].setdefault(q, {}).setdefault(t, {})[knob] = path
+    path = os.path.join(SOAK_DIR, "soak_report.json")
+    with open(path, "w") as fh:
+        json.dump({"report": report, "configs": outs}, fh, indent=1)
+    print(json.dumps(report["mismatches"] or "ALL HASHES HELD"))
+    print("report:", path)
+    return 1 if report["mismatches"] or report["errors"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

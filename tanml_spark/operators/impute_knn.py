@@ -143,7 +143,16 @@ def knn_impute(
     )
 
     if mode == "exact":
-        cand = donors.join(F.broadcast(needy), F.col("__did") != F.col("__rid"))
+        # AQE sizes the DONORS side, not the pair stream: a few-MB
+        # donors shuffle gets coalesced to one partition, and the
+        # needy x donors explosion (the actual work — |needy|·|donors|
+        # rows) then grinds in ONE task (caught by the r06 sf1 soak:
+        # 60k donors x 5.5k needy = 300M pairs, single-task). An
+        # EXPLICIT numPartitions repartition is exempt from AQE
+        # coalescing, so the explosion spreads across the cluster.
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        cand = donors.repartition(n_part).join(
+            F.broadcast(needy), F.col("__did") != F.col("__rid"))
     elif mode == "lsh":
         from tanml_spark.operators.similarity import lsh_buckets_udf
 

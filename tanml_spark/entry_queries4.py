@@ -307,11 +307,65 @@ ORDER BY partition_key, rule_id
 """
 
 
+def q_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form linear SHAP (checks/explainability.py r06,
+    shap.LinearExplainer parity) under the hash gate: literal weights,
+    a literal 2-row background (mu = [20, 3]), 50 explained rows by id
+    order. phi = w*(x - mu) and base = w.mu + b are plain arithmetic,
+    so DuckDB recomputes every attribution exactly."""
+    import numpy as np
+
+    from tanml_spark.checks.explainability import linear_shap_values
+
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem contains duplicate (orderkey, linenumber)
+    # rows (dedup fixtures) — collapse to one row per id first so the
+    # ORDER BY id LIMIT 50 pick is tie-free in both engines
+    df = li.groupBy(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+        .alias("id")
+    ).agg(
+        F.min(F.col("l_quantity").cast("double")).alias("x1"),
+        F.min(F.col("l_discount").cast("double") * 100).alias("x2"),
+    )
+    bg = np.array([[10.0, 1.0], [30.0, 5.0]])  # mu = [20, 3]
+    sv = linear_shap_values(df, ["x1", "x2"], [_W1, _W2], _BIAS, bg,
+                            test_n=50, id_col="id")
+    # + 0.0 canonicalizes IEEE negative zero (a tiny negative phi
+    # rounds to -0.0 in one engine and 0.0 in the other — equal as
+    # doubles, different as hashed strings)
+    return sv.select(
+        "id", "feature",
+        (F.round("x_value", 6) + 0.0).alias("x_value"),
+        (F.round("shap_value", 6) + 0.0).alias("shap_value"),
+        (F.round("base_value", 6) + 0.0).alias("base_value"),
+    )
+
+
+SQL_LINEAR_SHAP = """
+WITH base AS (
+  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS id,
+         min(l_quantity::DOUBLE) AS x1,
+         min(l_discount::DOUBLE * 100) AS x2
+  FROM lineitem GROUP BY 1
+), sel AS (
+  SELECT * FROM base ORDER BY id LIMIT 50
+)
+SELECT id, f.feature,
+  round(CASE f.feature WHEN 'x1' THEN x1 ELSE x2 END, 6) + 0.0 AS x_value,
+  round(CASE f.feature WHEN 'x1' THEN 0.08 * (x1 - 20.0)
+                       ELSE (-0.35) * (x2 - 3.0) END, 6) + 0.0 AS shap_value,
+  round(0.08 * 20.0 + (-0.35) * 3.0 + (-1.2), 6) + 0.0 AS base_value
+FROM sel CROSS JOIN (SELECT * FROM (VALUES ('x1'), ('x2')) v(feature)) f
+"""
+
+
 def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stress_deltas": q_stress_deltas,
         "benchmark_closed_form": q_benchmark_closed_form,
         "incremental_delta": q_incremental_delta,
+        "linear_shap": q_linear_shap,
     }
 
 
@@ -320,4 +374,5 @@ def all_oracles4() -> dict[str, str]:
         "stress_deltas": SQL_STRESS_DELTAS,
         "benchmark_closed_form": SQL_BENCHMARK_CLOSED_FORM,
         "incremental_delta": SQL_INCREMENTAL_DELTA,
+        "linear_shap": SQL_LINEAR_SHAP,
     }

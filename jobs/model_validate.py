@@ -87,8 +87,12 @@ def main() -> int:
         model = PredictFnModel(obj, feats, task=args.task)
         predict_fn = numpy_predict_fn(obj, args.task)
         if hasattr(obj, "coef_") and hasattr(obj, "intercept_"):
-            linear_wb = (np.asarray(obj.coef_, dtype=float).ravel(),
-                         float(np.atleast_1d(obj.intercept_)[0]))
+            coef = np.asarray(obj.coef_, dtype=float)
+            # closed form only covers single-output linear models —
+            # multiclass coef_ (k, n) keeps the permutation SHAP path
+            if coef.ndim == 1 or coef.shape[0] == 1:
+                linear_wb = (coef.ravel(),
+                             float(np.atleast_1d(obj.intercept_)[0]))
     else:
         from pyspark.ml import Pipeline
         from pyspark.ml.feature import VectorAssembler

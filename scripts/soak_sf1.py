@@ -96,6 +96,17 @@ def generate(factor: int) -> None:
     import duckdb
 
     os.makedirs(SOAK_DIR, exist_ok=True)
+    # factor marker: a re-run with a different --factor must regenerate,
+    # not silently soak stale data labeled with the new factor
+    marker = os.path.join(SOAK_DIR, "FACTOR")
+    stale = (not os.path.exists(marker)
+             or open(marker).read().strip() != str(factor))
+    if stale:
+        for f in os.listdir(SOAK_DIR):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(SOAK_DIR, f))
+        with open(marker, "w") as fh:
+            fh.write(str(factor))
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW reps AS SELECT unnest(range({factor})) AS rep")
@@ -226,7 +237,14 @@ def main() -> int:
         out = os.path.join(SOAK_DIR, f"soak_{tag}.json")
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO
-        env.pop("TANML_DRIVER_BUDGET", None)
+        # clear the global AND every per-knob override: an inherited
+        # TANML_CC_DRIVER_MAX etc. would silently defeat config C's
+        # budget=0 (per-knob vars win over the global in config.py)
+        for k in list(env):
+            if k == "TANML_DRIVER_BUDGET" or (
+                k.startswith("TANML_") and k.endswith("_DRIVER_MAX")
+            ):
+                env.pop(k)
         if budget is not None:
             env["TANML_DRIVER_BUDGET"] = budget
         cmd = [sys.executable, os.path.abspath(__file__),

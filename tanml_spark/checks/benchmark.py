@@ -125,7 +125,7 @@ def benchmark_models(
     if names:
         from functools import reduce
 
-        from tanml_spark.checks.metrics import cv_fold_metrics
+        from tanml_spark.checks.metrics import cv_fold_metrics, round_half_up
 
         stacked = reduce(lambda a, b: a.unionByName(b), sels)
         if task_type == "classification":
@@ -161,7 +161,6 @@ def benchmark_models(
                 # HALF_UP, so r2 must use round_half_up too — Python's
                 # banker's round diverges at exact 9dp midpoints
                 # (r06 ADVICE fix)
-                from tanml_spark.checks.metrics import round_half_up
                 r2 = round_half_up(1.0 - r["sse"] / r["sst"], 9) \
                     if r["sst"] else nan
                 rows.append((name, r["rmse"], r["mae"], r["median_ae"], r2))

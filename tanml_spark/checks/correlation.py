@@ -198,7 +198,13 @@ def rank_transform(
     out, cond = _rank_transform_broadcast(df, columns, budget=max_broadcast)
     if out is not None:
         return out
-    return _rank_transform_distributed(df, columns, counts=cond)
+    # hand the fallback a localCheckpoint of the materialized counts and
+    # drop the CacheManager entry: checkpoint blocks are GC-cleaned with
+    # the returned frame, a .persist() would leak for the session
+    # lifetime (r06 review fix)
+    cond_ckpt = cond.localCheckpoint(eager=True)
+    cond.unpersist()
+    return _rank_transform_distributed(df, columns, counts=cond_ckpt)
 
 
 def _rank_transform_broadcast(df: DataFrame, columns: list[str],

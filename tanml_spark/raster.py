@@ -381,6 +381,6 @@ def png_beeswarm(groups: dict[str, np.ndarray], title: str,
             np.round(vals, 9).tobytes(), dtype=np.uint64,
         ).astype(np.float64)) % 997) / 997.0
         py = cy + (jit - 0.5) * min(row_h - 10, 18) * S
-        for x, y in zip(px, py):
-            cv.circle(x, y, 4 * S, SERIES[0], alpha=0.45)
+        for j in _thin(len(px), 25):  # same per-feature cap as the SVG twin
+            cv.circle(px[j], py[j], 4 * S, SERIES[0], alpha=0.45)
     return cv.png()

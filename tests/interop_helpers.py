@@ -25,6 +25,23 @@ class SkStyleLogReg:
         return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.float64)
 
 
+class SkStyleMulticlass:
+    """3-class sklearn contract: coef_ is (3, n) — the exact shape
+    that must NOT route to closed-form linear SHAP (r06 review)."""
+
+    def __init__(self, coef, intercept):
+        self.coef_ = np.asarray(coef, dtype=np.float64)      # (3, n)
+        self.intercept_ = np.asarray(intercept, np.float64)  # (3,)
+
+    def predict_proba(self, X):
+        z = np.asarray(X, np.float64) @ self.coef_.T + self.intercept_
+        e = np.exp(z - z.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    def predict(self, X):
+        return np.argmax(self.predict_proba(X), axis=1).astype(np.float64)
+
+
 class HardLabel:
     def predict(self, X):
         return (np.asarray(X)[:, 0] > 0).astype(float)

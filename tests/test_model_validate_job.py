@@ -119,6 +119,39 @@ def test_pickled_model_path(credit_parquet):
     assert 0.0 <= m["test_metrics"]["roc_auc"] <= 1.0
 
 
+def test_multiclass_pickle_falls_back_to_permutation_shap(credit_parquet):
+    """A 3-class sklearn pickle has coef_ shape (3, n): the closed-form
+    linear SHAP gate must NOT fire (it would raise '3n weights for n
+    features' and kill the job) — the permutation path completes the
+    report instead (r06 review fix)."""
+    helper_dir = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, helper_dir)
+    import numpy as np
+
+    from interop_helpers import SkStyleMulticlass
+
+    rng = np.random.default_rng(7)
+    mdl = SkStyleMulticlass(rng.normal(0, 0.01, size=(3, 5)),
+                            [0.1, -0.2, 0.05])
+    pkl = str(credit_parquet / "model_mc.pkl")
+    with open(pkl, "wb") as fh:
+        pickle.dump(mdl, fh)
+    run_dir = str(credit_parquet / "run_pickle_mc")
+    res = _run(
+        [
+            "--train", str(credit_parquet / "train"),
+            "--test", str(credit_parquet / "test"),
+            "--label", "target", "--features", FEATS,
+            "--model-pickle", pkl,
+            "--run-dir", run_dir, "--cores", "4", "--stress-features", "1",
+        ],
+        extra_env={"PYTHONPATH": helper_dir + os.pathsep + REPO},
+    )
+    assert "shap_beeswarm.svg" in res["plots"]  # permutation path ran
+    m = json.load(open(os.path.join(run_dir, "metrics.json")))
+    assert m["shap_summary"]  # non-empty attributions, job survived
+
+
 def test_regression_run(credit_parquet):
     """Regression task: residual histogram instead of ROC, regression
     battery + narrative."""

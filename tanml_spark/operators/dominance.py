@@ -40,10 +40,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_DOM_LEAF = 64  # brute-force cutoff: below this, one vectorized
+                # O(k²) pass replaces ~2k more Python-loop iterations
+                # (the loop overhead, not the numpy work, dominated —
+                # recursing to size-2 leaves cost ~20 µs/node × 2m
+                # nodes; leaves of 64 cut the node count 32×, r06)
+
+
+def _dom_leaf(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Exact Σ_i c_i · Σ_{a_j<a_i, b_j<b_i} c_j by O(k²) broadcasting.
+    Strict < on both axes; NaN compares false on either axis, so NaN
+    rows pair with nothing — identical semantics to the recursion."""
+    dom = (a[None, :] < a[:, None]) & (b[None, :] < b[:, None])
+    return float(c @ dom @ c)
+
+
 def _dom_sum(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
     """Σ_i c_i · (Σ_{a_j<a_i, b_j<b_i} c_j) over condensed rows —
     vectorized divide-and-conquer on the a-order; O(m log m) with
-    numpy-level work per recursion level."""
+    numpy-level work per recursion level and O(k²)-vectorized leaves
+    below _DOM_LEAF rows."""
     order = np.lexsort((b, a))
     a, b, c = a[order], b[order], c[order]
 
@@ -58,6 +74,9 @@ def _dom_sum(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
             np.isnan(a[lo]) and np.isnan(a[hi - 1])
         ):
             continue  # <2 rows, or constant a: no strict a< pairs inside
+        if hi - lo <= _DOM_LEAF:
+            total += _dom_leaf(a[lo:hi], b[lo:hi], c[lo:hi])
+            continue
         mid = (lo + hi) // 2
         # move split to an a-value boundary so left a < right a strictly
         v = a[mid]
@@ -144,85 +163,93 @@ def kendall_tau_dominance(
         bucket(F.col("b"), cuts_b).alias("bb"),
     )
 
-    # term 1: cross-bucket grid (P×Q cells, driver numpy 2D prefix).
-    # Arrow toPandas + vectorized scatter: at the n_buckets=1024 clamp
-    # the grid is up to 2^20 cells — 1M pyspark Row objects cost
-    # hundreds of MB of driver heap where three numpy int/float
-    # columns cost ~24 MB (r03 VERDICT next-step #6).
-    gp = g.groupBy("ba", "bb").agg(F.sum("c").alias("w")).toPandas()
-    if len(gp) == 0:  # empty input / all-null column -> undefined tau
-        cond.unpersist()
+    # ONE fused job computes every remaining term (r06: was four —
+    # grid transfer, per-a-bucket dominance, per-b-bucket dominance,
+    # stacked tie counts). The a- and b-bucket groupings are stacked
+    # with a tag into a single applyInPandas pass over the persisted
+    # condensed frame; tie partials (n1, n2) ride inside the groups
+    # (bucket cutpoints split on VALUES, so equal values never cross
+    # buckets and per-bucket tie sums are exact partitions of the
+    # global sums), and the P×Q weight grid rides out of the a-groups
+    # as (bb, w) arrays — ≤ P + Q result rows, grid cells transferred
+    # as Arrow list columns, never as 10⁶ Row objects.
+    tagged = g.select(
+        F.lit("a").alias("tg"), F.col("ba").alias("k"), "a", "b", "c", "bb"
+    ).unionByName(g.select(
+        F.lit("b").alias("tg"), F.col("bb").alias("k"), "a", "b", "c",
+        F.lit(0).alias("bb"),
+    ))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf["a"].to_numpy(np.float64)
+        b = pdf["b"].to_numpy(np.float64)
+        c = pdf["c"].to_numpy(np.float64)
+        s = _dom_sum(a, b, c)
+        if pdf["tg"].iat[0] == "b":
+            # b-bucket group: cross-a dominance + b-tie partials.
+            # dropna=False: NaN values form ONE group, matching Spark's
+            # NaN-normalized grouping the stacked ties job used before.
+            tb = pdf.groupby("b", dropna=False)["c"].sum() \
+                    .to_numpy(np.float64)
+            return pd.DataFrame({
+                "tg": ["b"], "s": [s], "s_cell": [0.0],
+                "n_g": [0.0], "n3_g": [0.0], "t_a": [0.0],
+                "t_b": [float((tb * (tb - 1.0) / 2.0).sum())],
+                "ba": [0], "bb_idx": [np.array([], np.int64)],
+                "bb_w": [np.array([], np.float64)],
+            })
+        s_cell = 0.0
+        bbv = pdf["bb"].to_numpy()
+        for bb in np.unique(bbv):
+            m = bbv == bb
+            if m.sum() > 1:
+                s_cell += _dom_sum(a[m], b[m], c[m])
+        ta = pdf.groupby("a", dropna=False)["c"].sum().to_numpy(np.float64)
+        wb = pdf.groupby("bb")["c"].sum()  # bucket ids — never NaN
+        return pd.DataFrame({
+            "tg": ["a"], "s": [s], "s_cell": [s_cell],
+            "n_g": [float(c.sum())],
+            "n3_g": [float((c * (c - 1.0) / 2.0).sum())],
+            "t_a": [float((ta * (ta - 1.0) / 2.0).sum())], "t_b": [0.0],
+            "ba": [int(pdf["k"].iat[0])],
+            "bb_idx": [wb.index.to_numpy(np.int64)],
+            "bb_w": [wb.to_numpy(np.float64)],
+        })
+
+    res = tagged.groupBy("tg", "k").applyInPandas(
+        fn,
+        "tg string, s double, s_cell double, n_g double, n3_g double, "
+        "t_a double, t_b double, ba int, "
+        "bb_idx array<long>, bb_w array<double>",
+    ).toPandas()
+    cond.unpersist()
+    if len(res) == 0:  # empty input / all-null column -> undefined tau
         return float("nan")
-    P = int(gp["ba"].max()) + 1
-    Q = int(gp["bb"].max()) + 1
+    ra = res[res["tg"] == "a"]
+    rb = res[res["tg"] == "b"]
+    c_same_a = float(ra["s"].sum())
+    c_cell = float(ra["s_cell"].sum())
+    c_same_b = float(rb["s"].sum())
+    n = float(ra["n_g"].sum())
+    n3 = float(ra["n3_g"].sum())
+    n1 = float(ra["t_a"].sum())
+    n2 = float(rb["t_b"].sum())
+
+    # term 1: cross-bucket grid — 2D prefix sum over the (bb, w)
+    # arrays the a-groups carried out (≤ 2^20 driver doubles at the
+    # n_buckets clamp, numpy columns not Rows — r03 VERDICT #6).
+    P = int(ra["ba"].max()) + 1
+    Q = int(max((int(i.max()) for i in ra["bb_idx"] if len(i)),
+                default=0)) + 1
     grid = np.zeros((P, Q))
-    grid[gp["ba"].to_numpy(), gp["bb"].to_numpy()] = gp["w"].to_numpy(
-        dtype=np.float64
-    )
+    for _, r in ra.iterrows():
+        grid[int(r["ba"]), r["bb_idx"]] = r["bb_w"]
     pref = grid.cumsum(axis=0).cumsum(axis=1)  # inclusive 2D prefix
     dom_cells = np.zeros_like(grid)
     dom_cells[1:, 1:] = pref[:-1, :-1]  # strictly smaller in BOTH buckets
     c_grid = float((grid * dom_cells).sum())
 
-    # terms 2-3: within-group dominance via applyInPandas. The
-    # (ba, bb)-cell term is computed INSIDE the per-a-bucket pass
-    # (cells partition each a-bucket), saving a third shuffle round.
-    def fn_a(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf["a"].to_numpy(np.float64)
-        b = pdf["b"].to_numpy(np.float64)
-        c = pdf["c"].to_numpy(np.float64)
-        s = _dom_sum(a, b, c)
-        s_cell = 0.0
-        for bb in np.unique(pdf["bb"].to_numpy()):
-            m = (pdf["bb"] == bb).to_numpy()
-            if m.sum() > 1:
-                s_cell += _dom_sum(a[m], b[m], c[m])
-        # n / n3 marginals ride along (a-buckets partition cond), so
-        # the separate marginal agg job disappears
-        return pd.DataFrame({
-            "s": [s], "s_cell": [s_cell],
-            "n_g": [float(c.sum())],
-            "n3_g": [float((c * (c - 1.0) / 2.0).sum())],
-        })
-
-    def fn_b(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = _dom_sum(
-            pdf["a"].to_numpy(np.float64),
-            pdf["b"].to_numpy(np.float64),
-            pdf["c"].to_numpy(np.float64),
-        )
-        return pd.DataFrame({"s": [s]})
-
-    ra = (
-        g.groupBy("ba").applyInPandas(
-            fn_a, "s double, s_cell double, n_g double, n3_g double")
-        .agg(F.sum("s"), F.sum("s_cell"), F.sum("n_g"), F.sum("n3_g"))
-        .collect()[0]
-    )
-    c_same_a, c_cell = float(ra[0] or 0.0), float(ra[1] or 0.0)
-    n, n3 = float(ra[2] or 0.0), float(ra[3] or 0.0)
-    rb = (
-        g.groupBy("bb").applyInPandas(fn_b, "s double")
-        .agg(F.sum("s")).collect()[0][0]
-    )
-    c_same_b = float(rb or 0.0)
     C = c_grid + c_same_a + (c_same_b - c_cell)
-
-    # tie corrections n1/n2: fused into ONE job via a stacked
-    # (dim, value) groupBy (n and n3 already rode along with fn_a)
-    stacked = cond.select(
-        F.expr("stack(2, 'a', a, 'b', b) as (dim, v)"), "c"
-    )
-    ties = {
-        r["dim"]: r["t2"]
-        for r in stacked.groupBy("dim", "v").agg(F.sum("c").alias("t"))
-        .groupBy("dim")
-        .agg(F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
-             .alias("t2"))
-        .collect()
-    }
-    n1, n2 = ties.get("a", 0.0), ties.get("b", 0.0)
-    cond.unpersist()
     n0 = n * (n - 1) / 2.0
     D = (n0 - n1 - n2 + n3) - C
     denom = ((n0 - n1) * (n0 - n2)) ** 0.5

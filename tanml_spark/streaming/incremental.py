@@ -59,14 +59,25 @@ def incremental_validate(
         logical_partition(F.col(partition_key_col), n_buckets)
         if n_buckets else F.col(partition_key_col)
     )
+    # The delta frame feeds TWO consumers — the verdict aggregation and
+    # the state append — and both sit above the sha256-per-row hash and
+    # the anti-join. Persist it so that pipeline runs ONCE per call
+    # instead of twice (r06; MEMORY_AND_DISK default spills rather than
+    # recomputes at scale — and at 10^12 rows you would anti-join on
+    # the snapshot watermark instead of the row hash anyway, making the
+    # persisted delta the snapshot increment, not the full table).
+    fresh = fresh.persist()
     keyed = fresh.withColumn("partition_key", key.cast("string"))
     verdicts = check_constraints(keyed, rules, group_by=["partition_key"])
     # Materialize to rows BEFORE mutating state: appending to seen_path
     # invalidates any cached plan that scans it (Spark refreshes caches
     # on write), so a lazily-returned verdict frame would silently
-    # recompute against the UPDATED state and come back empty.
+    # recompute against the UPDATED state and come back empty. The
+    # collect also materializes the persisted delta, so the state write
+    # below streams from cache blocks, not a second hash scan.
     rows = verdicts.collect()
     fresh.select("__row_hash").write.mode("append").parquet(seen_path)
+    fresh.unpersist()
     return spark.createDataFrame(rows, verdicts.schema)
 
 

@@ -59,7 +59,16 @@ def _dom_sum(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
     """Σ_i c_i · (Σ_{a_j<a_i, b_j<b_i} c_j) over condensed rows —
     vectorized divide-and-conquer on the a-order; O(m log m) with
     numpy-level work per recursion level and O(k²)-vectorized leaves
-    below _DOM_LEAF rows."""
+    below _DOM_LEAF rows.
+
+    NaN rows are dropped up front: strict < is false against NaN on
+    either axis, so such rows pair with nothing. (Unreachable from the
+    Spark callers — ``na.drop`` removes NaN doubles — but the kernel
+    stays total: r06, the searchsorted merge counted b=NaN rows as
+    above-everything instead.)"""
+    keep = ~(np.isnan(a) | np.isnan(b))
+    if not keep.all():
+        a, b, c = a[keep], b[keep], c[keep]
     order = np.lexsort((b, a))
     a, b, c = a[order], b[order], c[order]
 

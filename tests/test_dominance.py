@@ -86,3 +86,34 @@ def test_precondensed_frame_reused(spark):
     direct = kendall_tau_dominance(df, "x", "y", n_buckets=16)
     reused = kendall_tau_dominance(None, "x", "y", n_buckets=16, cond=cond)
     assert direct == pytest.approx(reused, abs=1e-15)
+
+
+def test_dom_sum_nan_rows_pair_with_nothing():
+    """NaN compares false under strict < on either axis, so a NaN row
+    must contribute zero pairs — in the recursion AND in the r06
+    vectorized leaves (NaN sorts last in the lexsort, so all-NaN
+    segments also hit the constant-a guard)."""
+    rng = np.random.default_rng(3)
+    m = 300
+    a = rng.integers(0, 12, m).astype(float)
+    b = rng.integers(0, 9, m).astype(float)
+    c = rng.integers(1, 5, m).astype(float)
+    a[::7] = np.nan
+    b[::11] = np.nan
+    clean = ~(np.isnan(a) | np.isnan(b))
+    expected = _dom_brute(a[clean], b[clean], c[clean])
+    assert _dom_sum(a, b, c) == pytest.approx(expected, rel=1e-12)
+
+
+def test_dom_leaf_matches_recursion_at_boundary():
+    """A segment exactly at the leaf cutoff and one just above must
+    agree (same total regardless of which path a segment takes)."""
+    from tanml_spark.operators.dominance import _DOM_LEAF
+
+    rng = np.random.default_rng(9)
+    for m in (_DOM_LEAF, _DOM_LEAF + 1, 3 * _DOM_LEAF):
+        a = rng.integers(0, 10, m).astype(float)
+        b = rng.integers(0, 10, m).astype(float)
+        c = rng.integers(1, 4, m).astype(float)
+        assert _dom_sum(a, b, c) == pytest.approx(
+            _dom_brute(a, b, c), rel=1e-12)

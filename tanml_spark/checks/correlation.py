@@ -80,30 +80,67 @@ def kendall_tau(
     return kendall_tau_b(pdf[col_a].to_numpy(), pdf[col_b].to_numpy())
 
 
+def _kendall_from_condensed_local(pdf) -> float:
+    """Exact tau-b from a pandas condensed (a, b, c) table — the
+    driver fast path's finishing step. C and D reuse the vectorized
+    divide-and-conquer dominance kernel (operators/dominance.py:58):
+    C counts a_j<a_i & b_j<b_i; D is the same kernel on (a, −b). Tie
+    terms come from per-value marginal sums. Same exact integer
+    arithmetic (in float64, exact below 2^53) as the distributed
+    plans — bit-identical values."""
+    import numpy as np
+
+    from tanml_spark.operators.dominance import _dom_sum
+
+    if len(pdf) == 0:
+        return float("nan")
+    a = pdf["a"].to_numpy(np.float64)
+    b = pdf["b"].to_numpy(np.float64)
+    c = pdf["c"].to_numpy(np.float64)
+    C = _dom_sum(a, b, c)
+    D = _dom_sum(a, -b, c)
+    n = float(c.sum())
+    n0 = n * (n - 1) / 2.0
+    ta = pdf.groupby("a")["c"].sum().to_numpy(np.float64)
+    tb = pdf.groupby("b")["c"].sum().to_numpy(np.float64)
+    n1 = float((ta * (ta - 1.0) / 2.0).sum())
+    n2 = float((tb * (tb - 1.0) / 2.0).sum())
+    denom = ((n0 - n1) * (n0 - n2)) ** 0.5
+    return float((C - D) / denom) if denom else float("nan")
+
+
 def kendall_tau_exact(
     df: DataFrame, col_a: str, col_b: str, max_cardinality: int = 10_000
 ) -> float:
-    """EXACT distributed Kendall tau-b from condensed value-pair counts.
+    """EXACT Kendall tau-b from condensed value-pair counts.
 
     Condense to one row per distinct (a, b) pair with its count (one
-    shuffle, k rows), then a k×k self-join classifies each GROUP pair
-    as concordant/discordant with weight c1·c2; tie counts come from
-    two tiny marginal aggs. All arithmetic is exact integers until the
-    final ratio — no sampling (upgrades the r01 sampled-local mapping).
+    shuffle, k rows). Three plans, picked by cardinality (all exact,
+    all integer arithmetic until the final ratio — no sampling):
 
-    COST MODEL (r02 ADVICE #5): the self-join has a non-equi condition,
-    which Spark executes as a broadcast nested-loop — cost grows as k²
-    PAIR EVALUATIONS (not rows), and the condensed table is broadcast.
-    ``max_cardinality`` therefore defaults to 10_000 distinct (a, b)
-    pairs (~5·10^7 pair evaluations, ~160 KB broadcast) — safe on any
-    executor. Above the budget (estimated by a scan-only sketch first,
-    then confirmed exactly) the call dispatches to the EXACT
-    dominance-count path (operators/dominance.py, r03) — still exact,
-    no ceiling.
+    1. DRIVER FAST PATH (r06): when the condensed table fits the
+       ``KENDALL`` driver budget (limit-probe, one action on the
+       persisted frame), collect the ≤10k (a, b, c) rows (~240 KB) and
+       finish with the vectorized dominance kernel — 2 jobs total
+       (scan-only sketch + probe) instead of 5.
+    2. k×k BROADCAST JOIN (r02): past the budget but within
+       ``max_cardinality``, a non-equi self-join classifies each GROUP
+       pair as concordant/discordant with weight c1·c2 — Spark runs it
+       as a broadcast nested-loop, so cost grows as k² PAIR
+       EVALUATIONS; 10_000 distinct pairs ≈ 5·10^7 evaluations,
+       ~160 KB broadcast — safe on any executor. This is the
+       distributed twin the ``TANML_KENDALL_DRIVER_MAX=0`` /
+       ``TANML_DRIVER_BUDGET=0`` knobs force (config.py).
+    3. DOMINANCE DECOMPOSITION (r03): above ``max_cardinality``
+       (estimated by a scan-only sketch first, then confirmed exactly)
+       the EXACT dominance-count path (operators/dominance.py) — no
+       pair stream, no ceiling.
 
     tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)), n0 = n(n−1)/2,
     n1/n2 = Σ t(t−1)/2 over per-value tie groups of a / b.
     """
+    from tanml_spark.config import driver_budget
+
     d0 = df.select(F.col(col_a).cast("double").alias("a"),
                    F.col(col_b).cast("double").alias("b")).na.drop()
     # dispatch on a scan-only sketch FIRST (no condense shuffle spent
@@ -121,6 +158,16 @@ def kendall_tau_exact(
         # no pair stream, no ceiling. Same value, still exact.
         return kendall_tau_dominance(df, col_a, col_b)
     cond = d0.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    budget = driver_budget("KENDALL", max_cardinality)
+    if budget:
+        # persist before probing so a truncated probe hands the
+        # materialized frame to the distributed plan instead of
+        # re-running the condense shuffle (r06 ADVICE #2)
+        cond = cond.persist()
+        head = cond.limit(budget + 1).toPandas()
+        if len(head) <= budget:
+            cond.unpersist()
+            return _kendall_from_condensed_local(head)
     k = cond.count()
     if k > max_cardinality:
         # sketch passed but the exact count exceeds the broadcast-join
@@ -128,8 +175,11 @@ def kendall_tau_exact(
         # path instead of re-shuffling the raw data (r03 ADVICE #3 —
         # the duplicated condense hit exactly the large inputs this
         # guard exists for)
-        return kendall_tau_dominance(df, col_a, col_b, cond=cond,
-                                     est_pairs=k)
+        try:
+            return kendall_tau_dominance(df, col_a, col_b, cond=cond,
+                                         est_pairs=k)
+        finally:
+            cond.unpersist()
     l, r = cond.alias("l"), cond.alias("r")
     ordered = (F.col("l.a") < F.col("r.a")) | (
         (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))
@@ -150,9 +200,10 @@ def kendall_tau_exact(
     n2 = cond.groupBy("b").agg(F.sum("c").alias("t")).agg(
         F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
     ).collect()[0][0]
-    n = ties_a["n"]
+    cond.unpersist()
+    n = ties_a["n"] or 0  # empty input: SUM aggregates are NULL
     n0 = n * (n - 1) / 2.0
-    denom = ((n0 - ties_a["n1"]) * (n0 - n2)) ** 0.5
+    denom = ((n0 - (ties_a["n1"] or 0.0)) * (n0 - (n2 or 0.0))) ** 0.5
     return float((cd["C"] - cd["D"]) / denom) if denom else float("nan")
 
 

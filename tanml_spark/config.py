@@ -20,6 +20,9 @@ Knob names (see each site's docstring for exact semantics):
              (operators/dedup.py, default 2,000,000)
 - ``CV``   — cv/metrics condensed battery budget
              (checks/metrics.py, default 1,000,000)
+- ``KENDALL`` — exact-Kendall condensed pair budget
+             (checks/correlation.py, default = the call's
+             ``max_cardinality``, 10,000)
 - ``KS``   — KS/PSI condensed drift budget
              (checks/drift.py, default 1,000,000)
 - ``RANK`` — rank-transform broadcast ceiling

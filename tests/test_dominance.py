@@ -38,18 +38,46 @@ def test_dominance_tau_matches_numpy_reference(spark):
     assert got == pytest.approx(exp, abs=1e-12)
 
 
-def test_dominance_agrees_with_k2_join_path(spark):
-    """Two independent exact implementations (condensed k² broadcast
-    join vs dominance decomposition) must agree on a mid-cardinality
-    fixture."""
+def test_dominance_agrees_with_k2_join_path(spark, monkeypatch):
+    """THREE independent exact implementations (r06 driver fast path,
+    condensed k² broadcast join, dominance decomposition) must agree
+    on a mid-cardinality fixture. The KENDALL budget knob forces the
+    join twin (budget=0 keeps the plan distributed, config.py)."""
     rng = np.random.default_rng(23)
     n = 4000
     a = rng.normal(size=n).round(2)
     b = (0.3 * a + rng.normal(size=n)).round(2)
     df = spark.createDataFrame(pd.DataFrame({"x": a, "y": b}))
+    driver_path = kendall_tau_exact(df, "x", "y", max_cardinality=100_000)
+    monkeypatch.setenv("TANML_KENDALL_DRIVER_MAX", "0")
     join_path = kendall_tau_exact(df, "x", "y", max_cardinality=100_000)
     dom_path = kendall_tau_dominance(df, "x", "y", n_buckets=16)
     assert dom_path == pytest.approx(join_path, abs=1e-12)
+    assert driver_path == pytest.approx(join_path, abs=1e-15)
+
+
+def test_kendall_driver_fast_path_boundary_and_empty(spark, monkeypatch):
+    """r06 driver fast path: a budget one below the condensed
+    cardinality must truncate the probe and fall through to the
+    distributed join with the SAME value; an all-null input returns
+    NaN on both paths."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 20, 800).astype(float)   # ties-heavy
+    b = (a + rng.integers(0, 5, 800)).astype(float)
+    df = spark.createDataFrame(pd.DataFrame({"x": a, "y": b}))
+    k = len({(x, y) for x, y in zip(a, b)})
+    fast = kendall_tau_exact(df, "x", "y")              # k << 10k budget
+    monkeypatch.setenv("TANML_KENDALL_DRIVER_MAX", str(k - 1))
+    fallback = kendall_tau_exact(df, "x", "y")          # probe truncates
+    assert fast == pytest.approx(kendall_tau_b(a, b), abs=1e-12)
+    assert fallback == pytest.approx(fast, abs=1e-15)
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"x": [None, None], "y": [1.0, None]}),
+        "x double, y double")
+    assert np.isnan(kendall_tau_exact(empty, "x", "y"))
+    monkeypatch.setenv("TANML_KENDALL_DRIVER_MAX", "0")
+    assert np.isnan(kendall_tau_exact(empty, "x", "y"))
 
 
 def test_exact_dispatches_to_dominance_above_guard(spark):

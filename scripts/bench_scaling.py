@@ -155,6 +155,11 @@ Per-query timings at {args.sf_dir} (local[{r['cpus']}]):
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+    # persist the raw bench.py JSON line too — the render must stay
+    # reproducible via --from-json without re-running the suite
+    with open(os.path.join(REPO, "BENCH", "bench_render_latest.json"),
+              "w") as f:
+        f.write(json.dumps(r) + "\n")
     print(json.dumps({
         "eff_median": eff,
         "eff_runs": r["eff_runs"],

@@ -360,12 +360,89 @@ FROM sel CROSS JOIN (SELECT * FROM (VALUES ('x1'), ('x2')) v(feature)) f
 """
 
 
+def q_psi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel drift (r06, query 48): PSI of n_chars between
+    the even/odd doc halves computed independently PER LANG in one
+    condensed pass (checks/drift.py:132 psi_by_group). The reference
+    computes PSI per column globally (tanml/checks/drift.py:24-96);
+    the per-group form is the north rule's per-Iceberg-partition drift
+    generalization — same condensed-counts arithmetic keyed by
+    (group, value) instead of value, so every group's 10 expected-range
+    bins, eps=1e-8 zero-proportion substitution and NaN-on-empty-side
+    semantics match the global oracle exactly."""
+    from tanml_spark.checks.drift import psi_by_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test"),
+    )
+    p = psi_by_group(docs, "n_chars", "lang")
+    return p.select(
+        F.col("group").alias("lang"),
+        F.round("psi", 6).alias("psi"),
+        "drift_level",
+    )
+
+
+SQL_PSI_BY_GROUP = """
+WITH vals AS (
+  SELECT lang AS grp,
+         CASE WHEN doc_id % 2 = 0 THEN 'e' ELSE 'a' END AS side,
+         n_chars::DOUBLE AS value
+  FROM documents WHERE n_chars IS NOT NULL
+),
+edges AS (
+  SELECT grp,
+         CASE WHEN min(value) = max(value)
+              THEN min(value) - 0.5 ELSE min(value) END AS lo2,
+         CASE WHEN min(value) = max(value)
+              THEN max(value) + 0.5 ELSE max(value) END AS hi2,
+         count(*) AS n_e
+  FROM vals WHERE side = 'e' GROUP BY grp
+),
+na AS (
+  SELECT grp, sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS n_a
+  FROM vals GROUP BY grp
+),
+b AS (
+  SELECT v.grp,
+         least(CAST(floor((value - lo2) / ((hi2 - lo2) / 10)) AS INT),
+               9) AS bucket,
+         side
+  FROM vals v JOIN edges e ON v.grp = e.grp
+  WHERE value >= lo2 AND value <= hi2
+),
+counts AS (
+  SELECT grp, bucket,
+         sum(CASE WHEN side = 'e' THEN 1 ELSE 0 END) AS ce,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca
+  FROM b GROUP BY grp, bucket
+),
+p AS (
+  SELECT c.grp,
+    sum(((CASE WHEN ca = 0 THEN 1e-8 ELSE ca / n.n_a END)
+       - (CASE WHEN ce = 0 THEN 1e-8 ELSE ce / e.n_e END))
+      * ln((CASE WHEN ca = 0 THEN 1e-8 ELSE ca / n.n_a END)
+         / (CASE WHEN ce = 0 THEN 1e-8 ELSE ce / e.n_e END))) AS psi_raw
+  FROM counts c JOIN edges e ON c.grp = e.grp JOIN na n ON c.grp = n.grp
+  GROUP BY c.grp
+)
+SELECT grp AS lang, round(psi_raw, 6) AS psi,
+  CASE WHEN psi_raw IS NULL OR isnan(psi_raw) THEN 'unknown'
+       WHEN psi_raw >= 0.2 THEN 'severe'
+       WHEN psi_raw >= 0.1 THEN 'moderate'
+       ELSE 'none' END AS drift_level
+FROM p
+"""
+
+
 def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stress_deltas": q_stress_deltas,
         "benchmark_closed_form": q_benchmark_closed_form,
         "incremental_delta": q_incremental_delta,
         "linear_shap": q_linear_shap,
+        "psi_by_group": q_psi_by_group,
     }
 
 
@@ -375,4 +452,5 @@ def all_oracles4() -> dict[str, str]:
         "benchmark_closed_form": SQL_BENCHMARK_CLOSED_FORM,
         "incremental_delta": SQL_INCREMENTAL_DELTA,
         "linear_shap": SQL_LINEAR_SHAP,
+        "psi_by_group": SQL_PSI_BY_GROUP,
     }

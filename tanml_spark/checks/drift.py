@@ -159,6 +159,58 @@ def psi_by_group(
     return psi.withColumn("drift_level", drift_level_col(F.col("psi")))
 
 
+def ks_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    split_col: str = "split",
+    expected_split: str = "train",
+) -> DataFrame:
+    """Partition-parallel exact two-sample KS (psi_by_group's sibling —
+    the north rule's per-Iceberg-partition drift slot): the statistic
+    of ``value_col`` between splits computed independently PER GROUP.
+    One condensed ``groupBy(group, value)`` pass, then ONE
+    ``applyInPandas`` over each group's condensed counts reusing the
+    global kernel (suite.ks_from_counts) — numerics identical to
+    ks_table by construction. Groups fan out across tasks; per-task
+    size is the group's DISTINCT-value count (bounded by value
+    cardinality, not row count). Returns (group, ks_stat, n_e, n_a);
+    ks_stat is NaN when either side of a group is empty."""
+    import numpy as np
+    import pandas as pd
+
+    from tanml_spark.suite import ks_from_counts  # lazy sibling import
+
+    side = F.when(F.col(split_col) == expected_split, "e").otherwise("a")
+    cond = (
+        df.select(
+            F.col(group_col).cast("string").alias("group"),
+            F.col(value_col).cast("double").alias("value"),
+            side.alias("side"),
+        )
+        .filter(F.col("value").isNotNull())
+        .groupBy("group", "value")
+        .agg(
+            F.sum(F.when(F.col("side") == "e", 1).otherwise(0)).alias("ce"),
+            F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+        )
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"].to_numpy(np.float64)
+        ce = pdf["ce"].to_numpy(np.float64)
+        ca = pdf["ca"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "group": [pdf["group"].iat[0]],
+            "ks_stat": [ks_from_counts(vals, ce, ca)],
+            "n_e": [int(ce.sum())],
+            "n_a": [int(ca.sum())],
+        })
+
+    return cond.groupBy("group").applyInPandas(
+        fn, "group string, ks_stat double, n_e long, n_a long")
+
+
 KS_DRIVER_MAX = 1_000_000  # condensed-row budget below which the exact
                            # ECDF is a driver-side numpy cumsum (same
                            # gate family as correlation's

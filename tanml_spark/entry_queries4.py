@@ -436,6 +436,57 @@ FROM p
 """
 
 
+def q_ks_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel exact KS (r06, query 49): the two-sample
+    statistic of n_chars between the even/odd doc halves per lang
+    (checks/drift.py:ks_by_group — psi_by_group's sibling). Reuses the
+    global ks_from_counts kernel per group, so semantics match the
+    oracled `ks` query exactly; DuckDB recomputes the per-group ECDF
+    sup-difference with window functions."""
+    from tanml_spark.checks.drift import ks_by_group
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test"),
+    )
+    k = ks_by_group(docs, "n_chars", "lang")
+    return k.select(
+        F.col("group").alias("lang"),
+        F.round("ks_stat", 6).alias("ks_stat"),
+        "n_e", "n_a",
+    )
+
+
+SQL_KS_BY_GROUP = """
+WITH vals AS (
+  SELECT lang AS grp,
+         CASE WHEN doc_id % 2 = 0 THEN 'e' ELSE 'a' END AS side,
+         n_chars::DOUBLE AS value
+  FROM documents WHERE n_chars IS NOT NULL
+),
+perval AS (
+  SELECT grp, value,
+         sum(CASE WHEN side = 'e' THEN 1 ELSE 0 END) AS ce,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca
+  FROM vals GROUP BY grp, value
+),
+cum AS (
+  SELECT grp,
+         sum(ce) OVER (PARTITION BY grp ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_e,
+         sum(ca) OVER (PARTITION BY grp ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(ce) OVER (PARTITION BY grp) AS n_e,
+         sum(ca) OVER (PARTITION BY grp) AS n_a
+  FROM perval
+)
+SELECT grp AS lang,
+       round(max(abs(cum_e / n_e - cum_a / n_a)), 6) AS ks_stat,
+       max(n_e)::BIGINT AS n_e, max(n_a)::BIGINT AS n_a
+FROM cum GROUP BY grp
+"""
+
+
 def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stress_deltas": q_stress_deltas,
@@ -443,6 +494,7 @@ def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delta": q_incremental_delta,
         "linear_shap": q_linear_shap,
         "psi_by_group": q_psi_by_group,
+        "ks_by_group": q_ks_by_group,
     }
 
 
@@ -453,4 +505,5 @@ def all_oracles4() -> dict[str, str]:
         "incremental_delta": SQL_INCREMENTAL_DELTA,
         "linear_shap": SQL_LINEAR_SHAP,
         "psi_by_group": SQL_PSI_BY_GROUP,
+        "ks_by_group": SQL_KS_BY_GROUP,
     }

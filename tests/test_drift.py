@@ -193,6 +193,33 @@ def test_psi_by_group_matches_per_group_reference(spark, code_files):
     assert any(v > 0.2 for v in got.values() if v == v)
 
 
+def test_ks_by_group_matches_per_group_reference(spark, code_files):
+    """Partition-parallel exact KS == numpy two-sample KS per group
+    (r06 query 49); empty-side groups yield NaN."""
+    from tanml_spark.checks.drift import ks_by_group
+
+    df = code_files.withColumn("content_len", F.length("content"))
+    got = {r["group"]: r for r in
+           ks_by_group(df, "content_len", "lang").collect()}
+    pdf = df.select("lang", "content_len", "split").toPandas()
+    for lang, sub in pdf.groupby("lang"):
+        # the engine drops NULL values (NULL content -> NULL length)
+        e = np.sort(sub[sub.split == "train"]["content_len"]
+                    .dropna().to_numpy(dtype=float))
+        a = np.sort(sub[sub.split != "train"]["content_len"]
+                    .dropna().to_numpy(dtype=float))
+        r = got[str(lang)]
+        assert r["n_e"] == len(e) and r["n_a"] == len(a)
+        if len(e) == 0 or len(a) == 0:
+            assert math.isnan(r["ks_stat"])
+            continue
+        allv = np.unique(np.concatenate([e, a]))
+        ecdf_e = np.searchsorted(e, allv, side="right") / len(e)
+        ecdf_a = np.searchsorted(a, allv, side="right") / len(a)
+        exp = float(np.max(np.abs(ecdf_e - ecdf_a)))
+        assert abs(r["ks_stat"] - exp) < 1e-12, lang
+
+
 def test_ks_bins_approximates_exact(spark):
     from tanml_spark.checks.drift import ks_bins
 

@@ -1,5 +1,5 @@
-"""Driver-contract queries, part 4 (round 5): model-dependent
-batteries under the oracle gate.
+"""Driver-contract queries, part 4: model-dependent batteries (r05)
+and partition-parallel drift (r06) under the oracle gate.
 
 The stress battery (checks/stress.py — the reference's perturbation
 stress test, tanml/checks/stress_test.py:75-206) was previously

@@ -487,6 +487,58 @@ FROM cum GROUP BY grp
 """
 
 
+def q_high_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-correlation pair screen (r06, query 50): the REAL
+    high_corr_pairs path (checks/correlation.py — reference
+    correlation.py:45-77: |r| >= threshold on the fused one-pass
+    correlation matrix, sorted by |r|) over four lineitem-derived
+    features, two engineered to cross the 0.5 bar decisively
+    (x2 = 2·x1 + linenumber ≈ 0.998; x4 = 3·x3 − 7, affine → 1.0) and
+    two far below it (~0.003) — no value sits near the threshold at
+    any sf, so the unrounded filter can't flip between engines."""
+    from tanml_spark.checks.correlation import high_corr_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        (F.col("l_quantity") * 2 + F.col("l_linenumber")).cast("double")
+        .alias("x2"),
+        F.col("l_extendedprice").cast("double").alias("x3"),
+        (F.col("l_extendedprice") * 3 - 7).cast("double").alias("x4"),
+    )
+    pairs = high_corr_pairs(df, ["x1", "x2", "x3", "x4"], threshold=0.5)
+    out = spark.createDataFrame(
+        [(p["feature_a"], p["feature_b"], p["corr"]) for p in pairs],
+        "feature_a string, feature_b string, corr double",
+    )
+    # corr is already 9dp-rounded by high_corr_pairs; the output rounds
+    # to 6dp via F.round (HALF_UP) to match the oracle's round()
+    return out.select("feature_a", "feature_b",
+                      F.round("corr", 6).alias("corr"))
+
+
+SQL_HIGH_CORR = """
+WITH f AS (
+  SELECT l_quantity::DOUBLE AS x1,
+         (l_quantity * 2 + l_linenumber)::DOUBLE AS x2,
+         l_extendedprice::DOUBLE AS x3,
+         (l_extendedprice * 3 - 7)::DOUBLE AS x4
+  FROM lineitem
+), m AS (
+  SELECT corr(x1, x2) c12, corr(x1, x3) c13, corr(x1, x4) c14,
+         corr(x2, x3) c23, corr(x2, x4) c24, corr(x3, x4) c34
+  FROM f
+), pairs AS (
+  SELECT u.* FROM m, LATERAL (VALUES
+    ('x1', 'x2', c12), ('x1', 'x3', c13), ('x1', 'x4', c14),
+    ('x2', 'x3', c23), ('x2', 'x4', c24), ('x3', 'x4', c34)
+  ) u(feature_a, feature_b, r)
+)
+SELECT feature_a, feature_b, round(round(r, 9), 6) AS corr
+FROM pairs WHERE r IS NOT NULL AND abs(r) >= 0.5
+"""
+
+
 def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stress_deltas": q_stress_deltas,
@@ -495,6 +547,7 @@ def all_queries4() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_shap": q_linear_shap,
         "psi_by_group": q_psi_by_group,
         "ks_by_group": q_ks_by_group,
+        "high_corr": q_high_corr,
     }
 
 
@@ -506,4 +559,5 @@ def all_oracles4() -> dict[str, str]:
         "linear_shap": SQL_LINEAR_SHAP,
         "psi_by_group": SQL_PSI_BY_GROUP,
         "ks_by_group": SQL_KS_BY_GROUP,
+        "high_corr": SQL_HIGH_CORR,
     }

@@ -247,12 +247,18 @@ def kendall_tau_dominance(
     # term 1: cross-bucket grid — 2D prefix sum over the (bb, w)
     # arrays the a-groups carried out (≤ 2^20 driver doubles at the
     # n_buckets clamp, numpy columns not Rows — r03 VERDICT #6).
+    # np.asarray: with Arrow-enabled toPandas() the array<long> columns
+    # arrive as ndarrays, without Arrow (e.g. the driver's own vanilla
+    # session) as Python lists — the merge must accept both (r06
+    # VERDICT #1: never assume a get_spark() session conf here).
+    bb_idx = [np.asarray(i, dtype=np.int64) for i in ra["bb_idx"]]
+    bb_w = [np.asarray(w, dtype=np.float64) for w in ra["bb_w"]]
     P = int(ra["ba"].max()) + 1
-    Q = int(max((int(i.max()) for i in ra["bb_idx"] if len(i)),
+    Q = int(max((int(i.max()) for i in bb_idx if len(i)),
                 default=0)) + 1
     grid = np.zeros((P, Q))
-    for _, r in ra.iterrows():
-        grid[int(r["ba"]), r["bb_idx"]] = r["bb_w"]
+    for ba, bi, bw in zip(ra["ba"], bb_idx, bb_w):
+        grid[int(ba), bi] = bw
     pref = grid.cumsum(axis=0).cumsum(axis=1)  # inclusive 2D prefix
     dom_cells = np.zeros_like(grid)
     dom_cells[1:, 1:] = pref[:-1, :-1]  # strictly smaller in BOTH buckets

@@ -1,0 +1,66 @@
+"""Session-agnosticism battery (r06 VERDICT #1).
+
+The driver's correctness harness passes its OWN SparkSession into
+``__spark_entry__.queries()`` — without any of the builder's
+``get_spark()`` confs (no Arrow toPandas, default broadcast threshold,
+no excludedRules, default timezone*). r06 shipped a regression
+(kendall_dominance assumed Arrow-shaped ``toPandas()`` output) that
+every test and soak missed because they all go through ``get_spark()``.
+
+This test runs EVERY declared query at sf0.001 on a vanilla
+``SparkSession`` in a fresh subprocess (a vanilla session cannot be
+built in the pytest JVM: ``getOrCreate`` would reuse the conftest
+session and ``newSession()`` inherits the SparkContext's spark.sql.*
+defaults).
+
+*timezone: the engine pins UTC semantics inside the queries themselves
+(from_utc_timestamp / explicit formats), which this battery exercises.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import json, sys
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as entry_mod
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("tanml_vanilla_battery")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+failed = {{}}
+for name, q in sorted(entry_mod.queries().items()):
+    try:
+        q(spark, "/root/testdata/sf0.001").collect()
+    except Exception as exc:  # noqa: BLE001 - report every failure
+        failed[name] = f"{{type(exc).__name__}}: {{exc}}"[:500]
+spark.stop()
+print("VANILLA_RESULT " + json.dumps(failed))
+"""
+
+
+def test_all_queries_on_vanilla_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER.format(repo=REPO)],
+        capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    marker = [ln for ln in proc.stdout.splitlines()
+              if ln.startswith("VANILLA_RESULT ")]
+    assert marker, f"battery crashed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    failed = json.loads(marker[-1][len("VANILLA_RESULT "):])
+    assert failed == {}, f"queries broken on a vanilla session: {failed}"
+    # sanity: the battery actually covered the declared surface
+    assert len(entry_mod.queries()) >= 50

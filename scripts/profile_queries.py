@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Per-query profiling harness (guide §1: measure first) — NOT bench.py.
+
+For each driver-contract query: wall time (min of reps), Spark job
+count, stage count, and total task count, via the status tracker. Use
+to find queries whose cost is fixed overhead (many tiny jobs/actions)
+vs real compute. Optionally dumps .explain('formatted') per query.
+
+Usage:
+  python scripts/profile_queries.py [query ...]        # default: all
+  PROFILE_REPS=2 PROFILE_SF_DIR=/root/testdata/sf0.1 \
+      python scripts/profile_queries.py spearman_corr
+  PROFILE_PLANS_DIR=plans/r07 python scripts/profile_queries.py  # dump plans
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tanml_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("PROFILE_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("PROFILE_REPS", "2"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    plans_dir = os.environ.get("PROFILE_PLANS_DIR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = sys.argv[1:] or sorted(qs)
+
+    spark = get_spark("tanml_profile", cores=cpus, shuffle_partitions=cpus)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    # warm the JVM/codegen path once with a cheap query
+    qs["constraints"](spark, sf_dir).collect()
+
+    out = {}
+    for name in names:
+        q = qs[name]
+        best = None
+        jobs = stages = tasks = 0
+        for rep in range(reps):
+            group = f"prof_{name}_{rep}"
+            sc.setJobGroup(group, name)
+            t0 = time.time()
+            df = q(spark, sf_dir)
+            df.collect()
+            sec = time.time() - t0
+            sc.setJobGroup(None, None)
+            job_ids = tracker.getJobIdsForGroup(group)
+            if best is None or sec < best:
+                best = sec
+                jobs = len(job_ids)
+                stages = tasks = 0
+                for j in job_ids:
+                    ji = tracker.getJobInfo(j)
+                    if ji is None:
+                        continue
+                    stages += len(ji.stageIds)
+                    for s in ji.stageIds:
+                        si = tracker.getStageInfo(s)
+                        if si is not None:
+                            tasks += si.numTasks
+            if plans_dir and rep == 0:
+                os.makedirs(plans_dir, exist_ok=True)
+                with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
+                    f.write(df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution
+                        .ExplainMode.fromString("formatted")))
+        out[name] = {"sec": round(best, 3), "jobs": jobs,
+                     "stages": stages, "tasks": tasks}
+        print(f"{name:26s} {best:7.3f}s  jobs={jobs:3d} stages={stages:3d} "
+              f"tasks={tasks:5d}", flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,9 +74,24 @@ def benchmark_models(
     te_raw = test.select(*feature_cols, label_col).na.drop()
     if extra_models:
         te_raw = te_raw.cache()  # only the extras score the raw frame
-    tr = va.transform(train.select(*feature_cols, label_col).na.drop()).cache()
-    te = va.transform(te_raw).cache()
-    tr.count()
+    baselines = _baselines(task_type, label_col, baseline_specs)
+    # r07: the train-side assemble/cache/count and the assembled test
+    # frame are built LAZILY — an extras-only invocation (e.g. scoring
+    # two closed-form models) previously paid an empty-train assemble,
+    # two caches and a count() for nothing.
+    lazy: dict = {}
+
+    def tr():
+        if "tr" not in lazy:
+            lazy["tr"] = va.transform(
+                train.select(*feature_cols, label_col).na.drop()).cache()
+            lazy["tr"].count()
+        return lazy["tr"]
+
+    def te():
+        if "te" not in lazy:
+            lazy["te"] = va.transform(te_raw).cache()
+        return lazy["te"]
 
     # extra (pre-fit) models get the RAW columns first — a Pipeline
     # that assembles its own `features` vector (or a PredictFnModel
@@ -84,11 +99,10 @@ def benchmark_models(
     # — and fall back to the assembled frame for bare pyspark.ml
     # models that expect an existing `features` column.
     scorers = [
-        (name, lambda est=est: est.fit(tr), (te,))
-        for name, est in _baselines(task_type, label_col,
-                                    baseline_specs).items()
+        (name, lambda est=est: est.fit(tr()), (te,))
+        for name, est in baselines.items()
     ] + [
-        (name, lambda m=m: m, (te_raw, te))
+        (name, lambda m=m: m, (lambda: te_raw, te))
         for name, m in (extra_models or {}).items()
     ]
     # r05: fits stay sequential (the reference's shape; each fit is
@@ -100,9 +114,9 @@ def benchmark_models(
     for vid, (name, get_model, frames) in enumerate(scorers):
         model = get_model()
         scored = None
-        for i, frame in enumerate(frames):
+        for i, frame_fn in enumerate(frames):
             try:
-                scored = model.transform(frame)
+                scored = model.transform(frame_fn())
                 break
             except Exception:
                 if i == len(frames) - 1:
@@ -164,7 +178,8 @@ def benchmark_models(
                 r2 = round_half_up(1.0 - r["sse"] / r["sst"], 9) \
                     if r["sst"] else nan
                 rows.append((name, r["rmse"], r["mae"], r["median_ae"], r2))
-    tr.unpersist(); te.unpersist()
+    for f in lazy.values():
+        f.unpersist()
     if extra_models:
         te_raw.unpersist()
     spark = train.sparkSession

@@ -32,7 +32,15 @@ def correlation_matrix(
 ) -> np.ndarray:
     """k×k correlation matrix from ONE fused aggregation pass."""
     if method == "spearman":
-        df = rank_transform(df, columns)
+        m, cond = _spearman_matrix_broadcast(df, columns)
+        if m is not None:
+            return m
+        # over-budget / NULL+NaN-mixed column: distributed ranks, fed
+        # from the already-materialized condensed counts when available
+        df = (
+            _rank_transform_distributed(df, columns, counts=cond)
+            if cond is not None else rank_transform(df, columns)
+        )
     elif method != "pearson":
         raise ValueError(f"unsupported method: {method}")
     exprs = []
@@ -47,6 +55,144 @@ def correlation_matrix(
             v = row[f"{a}|{columns[j]}"]
             m[i, j] = m[j, i] = float("nan") if v is None else v
     return m
+
+
+def _spearman_matrix_broadcast(df: DataFrame, columns: list[str],
+                               budget: int | None = None):
+    """Fused Spearman matrix fast path (r07). Returns
+    ``(matrix, None)`` on success or ``(None, cond)`` to fall back.
+
+    Shape: ONE condensed melt shuffle with an INT column key (shuffling
+    ~2-byte ints instead of column-name strings cuts the exchange and
+    the driver collect), driver rank maps, then ONE ``mapInPandas``
+    pass that emits CENTERED cross-moment partials per batch — the
+    k(k-1)/2 correlations finish from exact marginal moments (functions
+    of the rank maps alone) plus the tiny partial agg, so a full
+    rank-frame never crosses Arrow back into a JVM ``corr`` aggregate
+    (guide §4.2: hand whole batches to numpy, return sufficient
+    statistics, not rows).
+
+    Fallback contract mirrors ``_rank_transform_broadcast``: budget 0 →
+    ``(None, None)`` (caller uses the distributed path from scratch);
+    condensed table over budget or a column mixing NULL and NaN →
+    ``(None, cond)`` where ``cond`` is the PERSISTED
+    (column, vn, vv, cnt) frame, so the caller's distributed fallback
+    reuses the shuffle (r06 ADVICE pattern)."""
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    if budget is None:
+        from tanml_spark.config import driver_budget as _resolve
+
+        budget = _resolve("rank", RANK_BROADCAST_MAX)
+    if not budget or not columns:
+        return None, None
+    k = len(columns)
+    pairs = ", ".join(
+        f"{i}, cast(`{c}` as double)" for i, c in enumerate(columns)
+    )
+    melted = df.select(
+        F.expr(f"stack({k}, {pairs}) as (cidx, value)")
+    ).select(
+        "cidx",
+        F.col("value").isNotNull().cast("int").alias("vn"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("vv"),
+    )
+    cond_df = (
+        melted.groupBy("cidx", "vn", "vv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _named_cond():
+        name_arr = F.array(*[F.lit(c) for c in columns])
+        named = cond_df.select(
+            F.element_at(name_arr, F.col("cidx") + 1).alias("column"),
+            "vn", "vv", "cnt",
+        ).localCheckpoint(eager=True)
+        cond_df.unpersist()
+        return named
+
+    ok = False
+    try:
+        cond = cond_df.limit(budget + 1).toPandas()
+        if len(cond) > budget:
+            return None, _named_cond()
+        maps = []
+        mean = np.zeros(k)
+        var_n = np.zeros(k)
+        n_rows = 0
+        for i in range(k):
+            sub = cond[cond["cidx"] == i].sort_values(
+                ["vn", "vv"], na_position="last", kind="mergesort"
+            )
+            has_null = bool((sub["vn"] == 0).any())
+            has_nan = bool(((sub["vn"] == 1) & sub["vv"].isna()).any())
+            if has_null and has_nan:
+                return None, _named_cond()
+            cum = sub["cnt"].cumsum().to_numpy(dtype=np.float64)
+            cnt = sub["cnt"].to_numpy(dtype=np.float64)
+            rank = cum - cnt + (cnt + 1) / 2.0
+            vn = sub["vn"].to_numpy()
+            vv = sub["vv"].to_numpy(dtype=np.float64)
+            n_i = float(cnt.sum())
+            n_rows = max(n_rows, int(n_i))
+            if n_i:
+                mean[i] = float((cnt * rank).sum()) / n_i
+                var_n[i] = float((cnt * (rank - mean[i]) ** 2).sum())
+            mask_rank = float("nan")
+            if has_null:
+                mask_rank = float(rank[vn == 0][0])
+            elif has_nan:
+                mask_rank = float(rank[np.isnan(vv)][0])
+            keep = (vn == 1) & ~np.isnan(vv)
+            maps.append((vv[keep], rank[keep], mask_rank))
+        ok = True
+    finally:
+        if not ok:
+            # bail paths either handed cond over (unpersisted inside
+            # _named_cond) or raised — never leak the cache (ADVICE r06)
+            try:
+                cond_df.unpersist()
+            except Exception:
+                pass
+    cond_df.unpersist()
+
+    bc = df.sparkSession.sparkContext.broadcast((maps, mean))
+    ij = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    schema = ", ".join(f"s_{i}_{j} double" for i, j in ij)
+
+    def partials(batches):
+        mp, mu = bc.value
+        for pdf in batches:
+            r = np.empty((len(pdf), k))
+            for i, c in enumerate(columns):
+                x = pdf[c].to_numpy(dtype=np.float64)
+                vals, ranks, mask_rank = mp[i]
+                col = np.full(len(x), mask_rank, dtype=np.float64)
+                okm = ~np.isnan(x)
+                if okm.any():
+                    col[okm] = ranks[np.searchsorted(vals, x[okm])]
+                r[:, i] = col - mu[i]
+            yield pd.DataFrame({
+                f"s_{i}_{j}": [float((r[:, i] * r[:, j]).sum())]
+                for i, j in ij
+            })
+
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in columns])
+    row = casted.mapInPandas(partials, schema).agg(
+        *[F.sum(f"s_{i}_{j}").alias(f"s_{i}_{j}") for i, j in ij]
+    ).collect()[0]
+    m = np.eye(k)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i, j in ij:
+            cov = row[f"s_{i}_{j}"]
+            v = (
+                float("nan") if cov is None
+                else cov / float(np.sqrt(var_n[i] * var_n[j]))
+            )
+            m[i, j] = m[j, i] = v
+    return m, None
 
 
 def kendall_tau_b(a: np.ndarray, b: np.ndarray) -> float:
@@ -159,48 +305,51 @@ def kendall_tau_exact(
         return kendall_tau_dominance(df, col_a, col_b)
     cond = d0.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
     budget = driver_budget("KENDALL", max_cardinality)
-    if budget:
-        # persist before probing so a truncated probe hands the
-        # materialized frame to the distributed plan instead of
-        # re-running the condense shuffle (r06 ADVICE #2)
-        cond = cond.persist()
-        head = cond.limit(budget + 1).toPandas()
-        if len(head) <= budget:
-            cond.unpersist()
-            return _kendall_from_condensed_local(head)
-    k = cond.count()
-    if k > max_cardinality:
-        # sketch passed but the exact count exceeds the broadcast-join
-        # budget: hand the ALREADY-CONDENSED frame to the dominance
-        # path instead of re-shuffling the raw data (r03 ADVICE #3 —
-        # the duplicated condense hit exactly the large inputs this
-        # guard exists for)
-        try:
+    # try/finally from the first action on the persisted frame: an
+    # error in any action must not leak the cache (r06 ADVICE #2)
+    persisted = False
+    try:
+        if budget:
+            # persist before probing so a truncated probe hands the
+            # materialized frame to the distributed plan instead of
+            # re-running the condense shuffle (r06 ADVICE #2)
+            cond = cond.persist()
+            persisted = True
+            head = cond.limit(budget + 1).toPandas()
+            if len(head) <= budget:
+                return _kendall_from_condensed_local(head)
+        k = cond.count()
+        if k > max_cardinality:
+            # sketch passed but the exact count exceeds the broadcast-
+            # join budget: hand the ALREADY-CONDENSED frame to the
+            # dominance path instead of re-shuffling the raw data (r03
+            # ADVICE #3 — the duplicated condense hit exactly the large
+            # inputs this guard exists for)
             return kendall_tau_dominance(df, col_a, col_b, cond=cond,
                                          est_pairs=k)
-        finally:
+        l, r = cond.alias("l"), cond.alias("r")
+        ordered = (F.col("l.a") < F.col("r.a")) | (
+            (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))
+        )
+        sgn = (
+            F.signum(F.col("r.a") - F.col("l.a"))
+            * F.signum(F.col("r.b") - F.col("l.b"))
+        )
+        w = (F.col("l.c") * F.col("r.c")).cast("double")
+        cd = l.join(r, ordered).agg(
+            F.coalesce(F.sum(F.when(sgn > 0, w)), F.lit(0.0)).alias("C"),
+            F.coalesce(F.sum(F.when(sgn < 0, w)), F.lit(0.0)).alias("D"),
+        ).collect()[0]
+        ties_a = cond.groupBy("a").agg(F.sum("c").alias("t")).agg(
+            F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2).alias("n1"),
+            F.sum("t").alias("n"),
+        ).collect()[0]
+        n2 = cond.groupBy("b").agg(F.sum("c").alias("t")).agg(
+            F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
+        ).collect()[0][0]
+    finally:
+        if persisted:
             cond.unpersist()
-    l, r = cond.alias("l"), cond.alias("r")
-    ordered = (F.col("l.a") < F.col("r.a")) | (
-        (F.col("l.a") == F.col("r.a")) & (F.col("l.b") < F.col("r.b"))
-    )
-    sgn = (
-        F.signum(F.col("r.a") - F.col("l.a"))
-        * F.signum(F.col("r.b") - F.col("l.b"))
-    )
-    w = (F.col("l.c") * F.col("r.c")).cast("double")
-    cd = l.join(r, ordered).agg(
-        F.coalesce(F.sum(F.when(sgn > 0, w)), F.lit(0.0)).alias("C"),
-        F.coalesce(F.sum(F.when(sgn < 0, w)), F.lit(0.0)).alias("D"),
-    ).collect()[0]
-    ties_a = cond.groupBy("a").agg(F.sum("c").alias("t")).agg(
-        F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2).alias("n1"),
-        F.sum("t").alias("n"),
-    ).collect()[0]
-    n2 = cond.groupBy("b").agg(F.sum("c").alias("t")).agg(
-        F.sum(F.col("t").cast("double") * (F.col("t") - 1) / 2)
-    ).collect()[0][0]
-    cond.unpersist()
     n = ties_a["n"] or 0  # empty input: SUM aggregates are NULL
     n0 = n * (n - 1) / 2.0
     denom = ((n0 - (ties_a["n1"] or 0.0)) * (n0 - (n2 or 0.0))) ** 0.5
@@ -285,11 +434,13 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str],
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # count() materializes the cache exactly once; both branches below
-    # read from it, so the heavy melt+groupBy shuffle never runs twice.
-    if cond_df.count() > budget:
+    # ONE action probes AND collects (r06 ADVICE #3 pattern): a probe
+    # within budget IS the complete condensed table; on overflow the
+    # persisted frame feeds the distributed fallback, so the heavy
+    # melt+groupBy shuffle still never runs twice.
+    cond = cond_df.limit(budget + 1).toPandas()
+    if len(cond) > budget:
         return None, cond_df
-    cond = cond_df.toPandas()
     maps: dict[str, tuple] = {}
     for c in columns:
         sub = cond[cond["column"] == c].sort_values(

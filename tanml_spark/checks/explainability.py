@@ -243,10 +243,13 @@ def linear_shap_values(
     # stack(k, 'name', x, phi, ...) — one row per (explained row,
     # feature); weights/means are plan literals (repr round-trips
     # doubles exactly)
+    # float(...) before !r: numpy >= 2.0 reprs np.float64(x) as
+    # 'np.float64(x)', which is invalid SQL (r06 ADVICE #1); Python
+    # float repr round-trips doubles exactly
     triples = ", ".join(
         f"'{c}', cast(`{c}` as double), "
-        f"cast({w[j]!r} as double) * (cast(`{c}` as double) "
-        f"- cast({mu[j]!r} as double))"
+        f"cast({float(w[j])!r} as double) * (cast(`{c}` as double) "
+        f"- cast({float(mu[j])!r} as double))"
         for j, c in enumerate(feature_cols)
     )
     keep = [F.col(id_col)] if id_col else []

@@ -175,7 +175,11 @@ FROM ranked WHERE rank <= 5
 
 # ----------------------------------------------------- q: language id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from tanml_spark.operators.spread import spread_scan
+
+    # one-row-group fixture: spread the tokenizer/stopword HOF work
+    # across cores (no-op on many-split inputs)
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     pred = language_id(docs)
     return (
         pred.groupBy(F.col("lang"), F.col("lang_pred"))
@@ -215,7 +219,9 @@ SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2
 
 # -------------------------------------------------- q: quality scoring
 def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from tanml_spark.operators.spread import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     q = quality_score(docs)
     return q.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -513,8 +519,14 @@ SQL_SIMHASH_NEAR_DUPS = _sql_simhash()
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-portable 1-perm MinHash fingerprint (min of md5-prefix over
     8-char shingles) — DuckDB computes the identical value, closing the
-    r01 no_oracle gap; xxhash64 `fingerprint` stays the fast default."""
-    docs = _t(spark, sf_dir, "documents")
+    r01 no_oracle gap; xxhash64 `fingerprint` stays the fast default.
+
+    spread_scan: the fixture parquet is one row group (one task), and
+    ~500 md5 calls per row otherwise run on a single core (r07 — 2.2s
+    serial vs ~0.3s spread); no-op on many-split corpus inputs."""
+    from tanml_spark.operators.spread import spread_scan
+
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     return fingerprint_portable(docs).select("doc_id", "fingerprint")
 
 

@@ -45,8 +45,11 @@ def q_stress_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 — same semantics, oracle-recomputable."""
     from tanml_spark.checks.stress import stress_test
     from tanml_spark.models.closed_form import ClosedFormSigmoidModel
+    from tanml_spark.operators.spread import spread_scan
 
-    li = _t(spark, sf_dir, "lineitem")
+    # one-row-group fixture: spread the md5 pick + 5-variant explode
+    # across cores (no-op on many-split corpus inputs)
+    li = spread_scan(_t(spark, sf_dir, "lineitem"))
     df = li.select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
         .alias("id"),
@@ -150,8 +153,9 @@ def q_benchmark_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison arithmetic."""
     from tanml_spark.checks.benchmark import benchmark_models
     from tanml_spark.models.closed_form import ClosedFormSigmoidModel
+    from tanml_spark.operators.spread import spread_scan
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread_scan(_t(spark, sf_dir, "lineitem"))
     df = li.select(
         F.col("l_quantity").cast("double").alias("x1"),
         (F.col("l_discount").cast("double") * 100).alias("x2"),

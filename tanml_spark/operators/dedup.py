@@ -353,9 +353,13 @@ def _cc_driver(edges: DataFrame, budget: int) -> DataFrame | None:
     ADVICE fix: the old limit-probe threw its work away on overflow).
     The label is the component's minimum id, identical to the
     iterative path and the recursive-CTE oracle."""
-    if edges.count() > budget:
+    # ONE action probes AND collects (r06 ADVICE #3): limit(budget+1)
+    # against the persisted frame — a result within budget IS the whole
+    # edge set, and an over-budget probe leaves the cache for the
+    # distributed loop without having run a separate count().
+    pdf = edges.limit(budget + 1).toPandas()
+    if len(pdf) > budget:
         return None
-    pdf = edges.toPandas()
     parent: dict = {}
 
     def find(x):

@@ -1,0 +1,30 @@
+"""Scan-spreading for low-split inputs (guide §2.5 "input skew").
+
+A parquet file with a single row group produces a one-task scan, so
+every downstream per-row expression (md5 shingles, tokenizer HOFs,
+regex batteries) serializes on one core no matter how many the session
+has — `spark.sql.files.maxPartitionBytes` cannot split inside a row
+group. ``spread_scan`` repartitions such a scan up to the session's
+default parallelism; when the input already has at least that many
+partitions (the corpus-scale case: many splits) it is a NO-OP, so the
+extra exchange exists only where the alternative is a serial stage.
+
+The round-robin repartition is row-content-invariant: every downstream
+per-row computation produces identical values, and order-insensitive
+consumers (aggregations, joins, hash-compared query outputs) are
+unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition ``df`` to the session's parallelism when its plan
+    currently yields fewer partitions (e.g. a one-row-group parquet
+    fixture); no-op otherwise."""
+    p = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)

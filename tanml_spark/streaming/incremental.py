@@ -50,7 +50,9 @@ def incremental_validate(
     if os.path.exists(seen_path) and any(
         f.endswith(".parquet") for _, _, fs in os.walk(seen_path) for f in fs
     ):
-        seen = spark.read.parquet(seen_path)
+        # explicit schema: the state layout is ours, so skip the
+        # footer-sampling schema-inference job on every call (r07)
+        seen = spark.read.schema("__row_hash string").parquet(seen_path)
         fresh = hashed.join(seen, "__row_hash", "left_anti")
     else:
         fresh = hashed
@@ -67,17 +69,22 @@ def incremental_validate(
     # the snapshot watermark instead of the row hash anyway, making the
     # persisted delta the snapshot increment, not the full table).
     fresh = fresh.persist()
-    keyed = fresh.withColumn("partition_key", key.cast("string"))
-    verdicts = check_constraints(keyed, rules, group_by=["partition_key"])
-    # Materialize to rows BEFORE mutating state: appending to seen_path
-    # invalidates any cached plan that scans it (Spark refreshes caches
-    # on write), so a lazily-returned verdict frame would silently
-    # recompute against the UPDATED state and come back empty. The
-    # collect also materializes the persisted delta, so the state write
-    # below streams from cache blocks, not a second hash scan.
-    rows = verdicts.collect()
-    fresh.select("__row_hash").write.mode("append").parquet(seen_path)
-    fresh.unpersist()
+    try:
+        keyed = fresh.withColumn("partition_key", key.cast("string"))
+        verdicts = check_constraints(keyed, rules, group_by=["partition_key"])
+        # Materialize to rows BEFORE mutating state: appending to
+        # seen_path invalidates any cached plan that scans it (Spark
+        # refreshes caches on write), so a lazily-returned verdict frame
+        # would silently recompute against the UPDATED state and come
+        # back empty. The collect also materializes the persisted delta,
+        # so the state write below streams from cache blocks, not a
+        # second hash scan.
+        rows = verdicts.collect()
+        fresh.select("__row_hash").write.mode("append").parquet(seen_path)
+    finally:
+        # try/finally: an error between persist() and here must not
+        # leak the cached delta for the session lifetime (r06 ADVICE #2)
+        fresh.unpersist()
     return spark.createDataFrame(rows, verdicts.schema)
 
 

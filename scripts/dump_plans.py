@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Dump .explain('formatted') for driver-contract queries.
+
+Usage: python scripts/dump_plans.py OUTDIR SUFFIX [query ...]
+Writes OUTDIR/<query>_<SUFFIX>.txt for each query (default: all).
+Run from the repo checkout whose plans you want (e.g. a git worktree
+of the round-start commit for the _before plans).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tanml_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    outdir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("PROFILE_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(outdir, exist_ok=True)
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    spark = get_spark("tanml_plans", cores=8, shuffle_partitions=8)
+    for name in names or sorted(qs):
+        try:
+            df = qs[name](spark, sf_dir)
+            txt = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted"))
+        except Exception as exc:  # noqa: BLE001
+            txt = f"ERROR building plan: {type(exc).__name__}: {exc}"
+        with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(txt)
+        print("dumped", name, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

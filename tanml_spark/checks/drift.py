@@ -165,19 +165,28 @@ def ks_by_group(
     group_col: str,
     split_col: str = "split",
     expected_split: str = "train",
+    driver_budget: int | None = None,
 ) -> DataFrame:
     """Partition-parallel exact two-sample KS (psi_by_group's sibling —
     the north rule's per-Iceberg-partition drift slot): the statistic
-    of ``value_col`` between splits computed independently PER GROUP.
-    One condensed ``groupBy(group, value)`` pass, then ONE
-    ``applyInPandas`` over each group's condensed counts reusing the
-    global kernel (suite.ks_from_counts) — numerics identical to
-    ks_table by construction. Groups fan out across tasks; per-task
-    size is the group's DISTINCT-value count (bounded by value
-    cardinality, not row count). Returns (group, ks_stat, n_e, n_a);
-    ks_stat is NaN when either side of a group is empty."""
+    of ``value_col`` between splits computed independently PER GROUP
+    from one condensed ``groupBy(group, value)`` pass. Two plans (r06
+    VERDICT #3 — the r06 version ran one unbounded ``applyInPandas``
+    task per group, a ceiling for continuous columns where a group's
+    distinct count ~= its row count):
+
+    - within ``driver_budget`` (the ``KS`` knob, config.py): ONE
+      limit-probe action collects the condensed table and every group's
+      exact ECDF sup-diff runs in driver numpy via the global
+      ``ks_from_counts`` kernel — numerics identical to ks_table;
+    - past the budget (or budget 0): the range-partitioned two-phase
+      prefix sum (operators/prefix.py) with ``group`` as the partition
+      key — no task ever sees more than ~cardinality/n_buckets
+      condensed rows of any group, at any cardinality.
+
+    Returns (group, ks_stat, n_e, n_a); ks_stat is NaN when either
+    side of a group is empty."""
     import numpy as np
-    import pandas as pd
 
     from tanml_spark.suite import ks_from_counts  # lazy sibling import
 
@@ -195,20 +204,47 @@ def ks_by_group(
             F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
         )
     )
+    if driver_budget is None:
+        from tanml_spark.config import driver_budget as _resolve
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf["value"].to_numpy(np.float64)
-        ce = pdf["ce"].to_numpy(np.float64)
-        ca = pdf["ca"].to_numpy(np.float64)
-        return pd.DataFrame({
-            "group": [pdf["group"].iat[0]],
-            "ks_stat": [ks_from_counts(vals, ce, ca)],
-            "n_e": [int(ce.sum())],
-            "n_a": [int(ca.sum())],
-        })
+        driver_budget = _resolve("KS", KS_DRIVER_MAX)
+    schema = "group string, ks_stat double, n_e long, n_a long"
+    if driver_budget:
+        pdf = cond.limit(driver_budget + 1).toPandas()
+        if len(pdf) <= driver_budget:
+            rows = []
+            groups = pdf["group"].unique().tolist()
+            # NULL group keys are legal (groupBy keeps them) and must
+            # survive here too; sort them first for determinism
+            for g in sorted(groups, key=lambda x: (x is not None, x or "")):
+                sub = pdf[pdf["group"].isna()] if g is None \
+                    else pdf[pdf["group"] == g]
+                vals = sub["value"].to_numpy(np.float64)
+                ce = sub["ce"].to_numpy(np.float64)
+                ca = sub["ca"].to_numpy(np.float64)
+                rows.append((g, ks_from_counts(vals, ce, ca),
+                             int(ce.sum()), int(ca.sum())))
+            return df.sparkSession.createDataFrame(rows, schema)
 
-    return cond.groupBy("group").applyInPandas(
-        fn, "group string, ks_stat double, n_e long, n_a long")
+    from tanml_spark.operators.prefix import partitioned_cumsum
+
+    cum = partitioned_cumsum(cond, ["value"], ["ce", "ca"], ("group",))
+    diff = F.abs(
+        F.try_divide(F.col("__cum_ce"), F.col("__tot_ce"))
+        - F.try_divide(F.col("__cum_ca"), F.col("__tot_ca"))
+    )
+    agg = cum.groupBy("group").agg(
+        F.max(diff).alias("ks_raw"),
+        F.first("__tot_ce").cast("long").alias("n_e"),
+        F.first("__tot_ca").cast("long").alias("n_a"),
+    )
+    return agg.select(
+        "group",
+        F.when((F.col("n_e") == 0) | (F.col("n_a") == 0),
+               F.lit(float("nan"))).otherwise(F.col("ks_raw"))
+        .alias("ks_stat"),
+        "n_e", "n_a",
+    )
 
 
 KS_DRIVER_MAX = 1_000_000  # condensed-row budget below which the exact

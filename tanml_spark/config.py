@@ -27,6 +27,10 @@ Knob names (see each site's docstring for exact semantics):
              (checks/drift.py, default 1,000,000)
 - ``RANK`` — rank-transform broadcast ceiling
              (checks/correlation.py, default 1,000,000)
+- ``KNN_PAIRS`` — knn_impute mode="auto" exact-route pair-stream
+             ceiling, needy rows × all rows
+             (operators/impute_knn.py, default 50,000,000; 0 forces
+             the LSH route)
 
 Set a budget to 0 to force the distributed path (the standard way to
 smoke-test the at-scale plan on small data):

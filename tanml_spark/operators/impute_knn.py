@@ -59,6 +59,12 @@ MAX_BROADCAST_NEEDY = 2_000_000  # exact-mode needy-row broadcast budget
                                  # (~2M rows × k doubles ≈ low hundreds
                                  # of MB — the hinted-broadcast ceiling)
 
+KNN_EXACT_MAX_PAIRS = 50_000_000  # mode="auto" pair-stream ceiling for
+                                  # the exact route (needy × all rows);
+                                  # past it auto picks LSH (r06 VERDICT
+                                  # #4 — exact at 330M pairs ran 278s
+                                  # where LSH took 4.2s)
+
 
 def knn_impute(
     df: DataFrame,
@@ -100,7 +106,9 @@ def knn_impute(
         base = df.withColumn("__rid", F.col(id_col))
 
     # column means (fallback) + missing counts + NEEDY-row count (the
-    # exact-mode broadcast guard) in ONE fused agg
+    # exact-mode broadcast guard) + row count + per-column stddevs (the
+    # LSH standardization constants — fused here so mode="lsh" does not
+    # pay a second full scan, r07) in ONE fused agg
     any_null = fc[feature_cols[0]].isNull()
     for c in feature_cols[1:]:
         any_null = any_null | fc[c].isNull()
@@ -108,13 +116,29 @@ def knn_impute(
         *[F.avg(fc[c]).alias(f"m_{c}") for c in feature_cols],
         *[F.sum(fc[c].isNull().cast("long")).alias(f"miss_{c}")
           for c in feature_cols],
+        *[F.stddev_pop(fc[c]).alias(f"s_{c}") for c in feature_cols],
         F.sum(any_null.cast("long")).alias("n_needy"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).collect()[0]
     col_mean = {c: stats_row[f"m_{c}"] for c in feature_cols}
     missing_cols = [c for c in feature_cols if (stats_row[f"miss_{c}"] or 0) > 0]
     n_needy = stats_row["n_needy"] or 0
+    n_rows = stats_row["n_rows"] or 0
     if mode == "auto":
-        mode = "exact" if n_needy <= max_broadcast_needy else "lsh"
+        # r06 VERDICT #4: exact mode's cost is the needy×donor PAIR
+        # stream, not just the broadcast bytes — the factor-30 soak's
+        # 5.5k needy × 60k donors (330M pairs) passed the broadcast
+        # guard yet ran 278s where LSH took 4.2s. Auto now routes on
+        # BOTH budgets; ``TANML_KNN_PAIRS_DRIVER_MAX`` (config.py)
+        # tunes the pair ceiling, 0 forces LSH.
+        from tanml_spark.config import driver_budget as _resolve
+
+        max_pairs = _resolve("KNN_PAIRS", KNN_EXACT_MAX_PAIRS)
+        mode = (
+            "exact"
+            if n_needy <= max_broadcast_needy and n_needy * n_rows <= max_pairs
+            else "lsh"
+        )
     elif mode == "exact" and n_needy > max_broadcast_needy:
         raise ValueError(
             f"mode='exact' broadcasts the needy side, but {n_needy} needy "
@@ -158,11 +182,10 @@ def knn_impute(
 
         spark = df.sparkSession
         h_cols = hash_cols or feature_cols
-        sd_row = base.agg(
-            *[F.stddev_pop(fc[c]).alias(f"s_{c}") for c in h_cols]
-        ).collect()[0]
+        # standardization constants ride the fused stats agg above —
+        # no second scan (r07)
         mu = {c: col_mean[c] or 0.0 for c in h_cols}
-        sd = {c: (sd_row[f"s_{c}"] or 1.0) or 1.0 for c in h_cols}
+        sd = {c: (stats_row[f"s_{c}"] or 1.0) or 1.0 for c in h_cols}
 
         def std_of(colmap: dict[str, str]):
             # standardized, mean-imputed hashing vector (missing -> 0,

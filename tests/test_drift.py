@@ -272,3 +272,33 @@ def test_psi_bins_matches_condensed_high_cardinality(spark):
         assert abs(auto["u"] - cond["u"]) < 1e-12
     finally:
         drift_mod.PSI_AUTO_CARDINALITY = old
+
+
+def test_ks_by_group_distributed_fallback_matches_driver(spark, monkeypatch):
+    """r06 VERDICT #3: past the KS budget, ks_by_group must run the
+    range-partitioned per-group ECDF instead of one unbounded
+    applyInPandas task per group — and both plans must agree."""
+    import numpy as np
+    import pandas as pd
+
+    from tanml_spark.checks.drift import ks_by_group
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    pdf = pd.DataFrame({
+        "g": np.where(np.arange(n) % 3 == 0, "a", "b"),
+        # continuous doubles: distinct count ~= row count per group
+        "v": np.where(np.arange(n) % 3 == 0,
+                      rng.normal(0, 1, n), rng.normal(0.4, 1.2, n)),
+        "split": np.where(np.arange(n) % 2 == 0, "train", "test"),
+    })
+    df = spark.createDataFrame(pdf)
+    fast = {r["group"]: r for r in ks_by_group(df, "v", "g").collect()}
+    # budget 0 forces the distributed prefix-sum plan
+    monkeypatch.setenv("TANML_KS_DRIVER_MAX", "0")
+    dist = {r["group"]: r for r in ks_by_group(df, "v", "g").collect()}
+    assert set(fast) == set(dist) == {"a", "b"}
+    for g in fast:
+        assert fast[g]["n_e"] == dist[g]["n_e"]
+        assert fast[g]["n_a"] == dist[g]["n_a"]
+        assert abs(fast[g]["ks_stat"] - dist[g]["ks_stat"]) < 1e-12

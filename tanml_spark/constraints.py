@@ -307,15 +307,35 @@ def regex_required_literals(pattern: str, max_sets: int = 3) -> list[list[str]]:
 
 
 def _contains_guard(c: Column, pattern: str) -> Column | None:
-    """CNF contains() guard for an rlike PRESENCE test, or None."""
+    """CNF contains() guard for an rlike PRESENCE test, or None.
+
+    A leading ``(?i)`` flag is supported by guarding on
+    ``lower(col).contains(lower(lit))`` for ASCII literals: java regex
+    CASE_INSENSITIVE (without UNICODE_CASE) folds ASCII only, and each
+    ASCII case-variant of the literal lowercases char-by-char to
+    exactly the lowered literal, so the implication match ⇒ guard
+    holds. The lower() is one shared expression across every guarded
+    (?i) rule in a fused aggregation (codegen subexpression
+    elimination), measured at roughly the cost of a single contains."""
+    ci = False
+    if pattern.startswith("(?i)"):
+        ci = True
+        pattern = pattern[4:]
     sets = regex_required_literals(pattern)
+    if ci:
+        sets = [
+            [lit.lower() for lit in st]
+            for st in sets
+            if all(lit.isascii() for lit in st)
+        ]
     if not sets:
         return None
+    base = F.lower(c) if ci else c
     guard = None
     for st in sets:
         term = None
         for lit in st:
-            t = c.contains(lit)
+            t = base.contains(lit)
             term = t if term is None else (term | t)
         guard = term if guard is None else (guard & term)
     return guard

@@ -201,3 +201,35 @@ def test_required_literal_guard_never_drops_matches(spark):
         plain = df.agg(
             F.sum(F.expr(r.params["sql"]).cast("long"))).first()[0]
         assert guarded == plain, pat
+
+
+def test_case_insensitive_guard_never_drops_matches(spark):
+    """(?i)-prefixed patterns get lower()-contains guards; they must
+    equal plain rlike on corpora with case-varied positives."""
+    from pyspark.sql import functions as F
+
+    from tanml_spark.constraints import as_rule, violation_predicate
+
+    patterns = [
+        r"(?i)aws.{0,20}['\"][0-9a-zA-Z/+]{40}['\"]",
+        r"(?i)secret\s*[:=]\s*['\"][^'\"]{8,}",
+        r"(?i)api[_-]?key\s*[:=]",
+        r"(?i)bearer +[a-z0-9._\-]{20,}",
+    ]
+    texts = [
+        "clean row", None,
+        "AWS thing 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN'",
+        "aWs thing 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmn'",
+        "SECRET: 'hunter2hunter2'", "Secret = 'passwordpassword'",
+        "API_KEY= x", "api-key: y", "ApiKey=z",
+        "Bearer abcdefghijklmnopqrstu", "BEARER abcdefghij.klmnopqrst",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    for i, pat in enumerate(patterns):
+        sql_pat = pat.replace("\\", "\\\\").replace("'", "\\'")
+        r = as_rule({"type": "expr", "column": "-", "name": f"ci{i}",
+                     "sql": f"content rlike '{sql_pat}'"})
+        guarded = df.agg(F.sum(violation_predicate(r).cast("long"))).first()[0]
+        plain = df.agg(F.sum(F.expr(r.params["sql"]).cast("long"))).first()[0]
+        assert guarded == plain, pat
+        assert plain >= 2, f"fixture must exercise {pat}"

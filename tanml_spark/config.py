@@ -23,6 +23,10 @@ Knob names (see each site's docstring for exact semantics):
 - ``KENDALL`` — exact-Kendall condensed pair budget
              (checks/correlation.py, default = the call's
              ``max_cardinality``, 10,000)
+- ``KENDALL_DOM`` — dominance-path local-kernel budget: condensed
+             (a, b, count) rows collected for the O(m log m) driver
+             kernel (operators/dominance.py, default 1,000,000; past
+             it the bucketed distributed decomposition runs)
 - ``KS``   — KS/PSI condensed drift budget
              (checks/drift.py, default 1,000,000)
 - ``RANK`` — rank-transform broadcast ceiling

@@ -140,6 +140,26 @@ def kendall_tau_dominance(
     else:
         cond = cond.select("a", "b", "c")
         d = cond.select("a", "b")
+    # Driver fast path (r07 — the engine's standard limit-probe): a
+    # condensed table within the KENDALL_DOM budget finishes with the
+    # local vectorized dominance kernel in ONE action — same exact
+    # integer arithmetic, identical value (both plans are exact and the
+    # counts stay < 2^53). The bucketed distributed decomposition below
+    # remains the at-scale plan and is exercised by the budget-0 soak
+    # configuration (TANML_DRIVER_BUDGET=0).
+    from tanml_spark.config import driver_budget as _resolve
+
+    budget = _resolve("KENDALL_DOM", 1_000_000)
+    if budget:
+        from tanml_spark.checks.correlation import (  # lazy: avoid cycle
+            _kendall_from_condensed_local,
+        )
+
+        cond = cond.persist()
+        head = cond.limit(budget + 1).toPandas()
+        if len(head) <= budget:
+            cond.unpersist()
+            return _kendall_from_condensed_local(head)
     if n_buckets is None:
         # a caller handing over a precondensed frame usually KNOWS the
         # distinct-pair count (it just ran cond.count()) — est_pairs

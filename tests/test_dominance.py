@@ -145,3 +145,22 @@ def test_dom_leaf_matches_recursion_at_boundary():
         c = rng.integers(1, 4, m).astype(float)
         assert _dom_sum(a, b, c) == pytest.approx(
             _dom_brute(a, b, c), rel=1e-12)
+
+
+def test_dominance_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r07: kendall_tau_dominance gained the standard limit-probe
+    driver kernel; both plans are exact and must agree bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from tanml_spark.operators.dominance import kendall_tau_dominance
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    a = rng.normal(0, 1, n)
+    b = 0.4 * a + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b}))
+    fast = kendall_tau_dominance(df, "a", "b", n_buckets=8)
+    monkeypatch.setenv("TANML_KENDALL_DOM_DRIVER_MAX", "0")
+    dist = kendall_tau_dominance(df, "a", "b", n_buckets=8)
+    assert fast == dist  # both exact integer arithmetic

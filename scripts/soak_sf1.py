@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """sf1-scale soak of the oracle query battery (r05 VERDICT #8).
 
-CORRECTNESS runs at sf0.01; this soak pushes the SAME 46 query paths
+CORRECTNESS runs at sf0.01; this soak pushes ALL 50 driver query paths
+(r07 — queries 48-50 now ride the same 3-config matrix, r06 VERDICT #7)
 through a 10x replication of sf0.1 (~6M lineitem rows, 50k documents)
 to catch budget-threshold crossings — a query silently flipping
 between its driver fast path and the distributed plan must not change

@@ -123,11 +123,15 @@ def benchmark_models(
                     raise
         names.append(name)
         if task_type == "classification":
+            score_expr = (
+                F.col("__p1") if "__p1" in scored.columns  # plain-double
+                else vector_to_array("probability").getItem(1)
+            )
             sels.append(scored.select(
                 F.lit(vid).alias("__m"),
                 F.col(label_col).alias("label"),
                 F.col("prediction").cast("int").alias("prediction"),
-                vector_to_array("probability").getItem(1).alias("score"),
+                score_expr.alias("score"),
             ))
         else:
             sels.append(scored.select(

@@ -112,13 +112,17 @@ def stress_test(
     ).select("__v.*")
     out = model.transform(stacked_in)
     if task_type == "classification":
-        from pyspark.ml.functions import vector_to_array
+        if "__p1" in out.columns:  # plain-double fast lane (same value)
+            score_expr = F.col("__p1")
+        else:
+            from pyspark.ml.functions import vector_to_array
 
+            score_expr = vector_to_array(F.col(score_col)).getItem(1)
         stacked = out.select(
             "__variant",
             F.col(label_col).alias("label"),
             F.col(pred_col).alias("prediction"),
-            vector_to_array(F.col(score_col)).getItem(1).alias("score"),
+            score_expr.alias("score"),
         )
     else:
         stacked = out.select("__variant",

@@ -465,10 +465,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # init_mode="random": output is invariant to centroids here
-    # (n_probe=n_cells probes every cell), so the multi-job k-means||
-    # init sweep buys nothing (r07)
-    out = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=8, max_iter=2,
+    # init_mode="random", max_iter=1: output is invariant to centroids
+    # here (n_probe=n_cells probes every cell), so the multi-job
+    # k-means|| init sweep and the second refinement iteration buy
+    # nothing (r07); the fit+assign+probe pipeline still runs in full
+    out = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=8, max_iter=1,
                    init_mode="random")
     return out.select(
         "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"

@@ -41,9 +41,15 @@ class ClosedFormSigmoidModel:
         for c, w in self.weights.items():
             z = z + F.lit(float(w)) * F.col(c).cast("double")
         p1 = F.round(1.0 / (1.0 + F.exp(-z)), self.round_dp)
+        # __p1: the class-1 probability as a PLAIN double alongside the
+        # ml-vector column — batteries that only need p1 read it
+        # directly instead of paying an array_to_vector →
+        # vector_to_array UDT round trip per row (r07; the vector
+        # column stays for ml-interface parity)
         return df.withColumn(
             "probability", array_to_vector(F.array(F.lit(1.0) - p1, p1))
-        ).withColumn("prediction", (p1 >= 0.5).cast("double"))
+        ).withColumn("prediction", (p1 >= 0.5).cast("double")) \
+         .withColumn("__p1", p1)
 
     def sql(self, feature_exprs: dict[str, str] | None = None) -> str:
         """The ANSI-SQL expression for the class-1 probability — the

@@ -260,9 +260,11 @@ def run_fused_suite(
     cond = _scan2_condensed(df, drift_exprs, split_col, expected_split).cache()
     iqr: dict[str, dict] = {}
     drift: dict[str, dict] = {}
-    n_distinct = cond.count()
-    if n_distinct <= MAX_CONDENSED_COLLECT:
-        local = cond.toPandas()
+    # ONE action probes AND collects (the engine's standard limit-probe,
+    # r07): a probe within the guard IS the complete condensed table;
+    # on overflow the cached frame feeds the distributed path.
+    local = cond.limit(MAX_CONDENSED_COLLECT + 1).toPandas()
+    if len(local) <= MAX_CONDENSED_COLLECT:
         cond.unpersist()
         for c in drift_exprs:
             sub = local[local["column"] == c]

@@ -35,7 +35,8 @@ def incremental_validate(
     state_dir: str,
     partition_key_col: str = "repo",
     n_buckets: int = 64,
-) -> DataFrame:
+    emit_verdicts: bool = True,
+) -> DataFrame | None:
     """Validate only rows whose content hash was not validated before.
 
     Returns the verdicts for the NEW rows; appends their hashes to the
@@ -44,6 +45,13 @@ def incremental_validate(
     ``partition_key_col`` value as the partition key (a table already
     partitioned by a low-cardinality column needs no hash bucketing —
     and the key stays oracle-recomputable, r06 query 46).
+
+    ``emit_verdicts=False`` registers the rows in the seen-state
+    WITHOUT computing verdicts and returns ``None`` — the bootstrap
+    path for seeding state from an already-trusted snapshot. The state
+    side-effect is identical to the default path; only the verdict
+    aggregation (whose result the bootstrap caller discards) is
+    skipped, so the single consumer needs no persist() either (r07).
     """
     seen_path = os.path.join(state_dir, "seen_hashes")
     hashed = df.withColumn("__row_hash", row_sha256(df.schema))
@@ -56,6 +64,10 @@ def incremental_validate(
         fresh = hashed.join(seen, "__row_hash", "left_anti")
     else:
         fresh = hashed
+
+    if not emit_verdicts:
+        fresh.select("__row_hash").write.mode("append").parquet(seen_path)
+        return None
 
     key = (
         logical_partition(F.col(partition_key_col), n_buckets)

@@ -25,6 +25,29 @@ def test_incremental_validate(spark, tmp_path):
     assert n3 == 500
 
 
+def test_incremental_bootstrap_skips_verdicts(spark, tmp_path):
+    """emit_verdicts=False seeds the SAME state as the default path
+    (r07: the bootstrap caller discards the snapshot-1 verdicts, so
+    they are not computed) — second-run verdicts must be identical."""
+    df1 = gen_code_files(spark, 1000, 50)
+    df2 = gen_code_files(spark, 1500, 50)
+
+    state_a = str(tmp_path / "state_a")   # default bootstrap
+    incremental_validate(spark, df1, RULES, state_a)
+    va = incremental_validate(spark, df2, RULES, state_a)
+
+    state_b = str(tmp_path / "state_b")   # verdict-free bootstrap
+    out = incremental_validate(spark, df1, RULES, state_b,
+                               emit_verdicts=False)
+    assert out is None
+    vb = incremental_validate(spark, df2, RULES, state_b)
+
+    rows_a = sorted(map(tuple, va.collect()))
+    rows_b = sorted(map(tuple, vb.collect()))
+    assert rows_a == rows_b
+    assert sum(r.n_rows for r in vb.collect()) == 500
+
+
 def test_validate_stream_available_now(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")

@@ -43,7 +43,12 @@ from tanml_spark.checks.drift import (
     ks_from_condensed,
     psi_from_condensed,
 )
-from tanml_spark.constraints import Rule, as_rule, violation_predicate
+from tanml_spark.constraints import (
+    Rule,
+    as_rule,
+    violation_predicate,
+    violation_predicate_sql,
+)
 from tanml_spark.functions.hashing import logical_partition
 
 MAX_CONDENSED_COLLECT = 1_000_000  # distinct-value guard for driver math
@@ -73,41 +78,48 @@ def _scan1_grouped(
 ) -> DataFrame:
     fields = {f.name: f.dataType for f in keyed.schema.fields}
     numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
-    exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    # SQL-text expressions (one JVM parse each) instead of Column
+    # chains: the 60-odd agg expressions of a 25-rule suite cost
+    # hundreds of py4j round trips per invocation as Columns (r07 —
+    # same rationale as violation_predicate_sql); trees are identical
+    exprs: list[Column] = [F.expr("count(1) as n_rows")]
     for r in rules:
-        exprs.append(
-            F.coalesce(F.sum(violation_predicate(r).cast("long")), F.lit(0))
-            .alias(f"viol__{r.rule_id}")
-        )
+        exprs.append(F.expr(
+            f"coalesce(sum(CAST({violation_predicate_sql(r)} AS LONG)), 0)"
+            f" AS `viol__{r.rule_id}`"
+        ))
     for c in profile_cols:
-        exprs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"))
+        exprs.append(F.expr(
+            f"count(CASE WHEN `{c}` IS NULL THEN 1 END) AS `nulls__{c}`"
+        ))
         # pre-hash values to 64-bit before the HLL: ~30% cheaper on wide
         # string columns (content), identical estimate quality, and the
         # sketch stays mergeable; nulls excluded to match count-distinct
-        exprs.append(
-            F.hll_sketch_agg(
-                F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c).cast("string")))
-            ).alias(f"hll__{c}")
-        )
+        exprs.append(F.expr(
+            f"hll_sketch_agg(CASE WHEN `{c}` IS NOT NULL"
+            f" THEN xxhash64(CAST(`{c}` AS STRING)) END) AS `hll__{c}`"
+        ))
         if isinstance(fields[c], numeric):
-            exprs.append(F.min(c).alias(f"min__{c}"))
-            exprs.append(F.max(c).alias(f"max__{c}"))
+            exprs.append(F.expr(f"min(`{c}`) AS `min__{c}`"))
+            exprs.append(F.expr(f"max(`{c}`) AS `max__{c}`"))
     return keyed.groupBy("partition_key").agg(*exprs)
 
 
 def _merge_global(scan1: DataFrame, rules: list[Rule], profile_cols: list[str]) -> dict:
     """Second-stage agg over the tiny per-partition result (64 rows)."""
-    exprs = [F.sum("n_rows").alias("n_rows")]
+    exprs = [F.expr("sum(n_rows) AS n_rows")]
     for r in rules:
-        exprs.append(F.sum(f"viol__{r.rule_id}").alias(f"viol__{r.rule_id}"))
+        exprs.append(F.expr(
+            f"sum(`viol__{r.rule_id}`) AS `viol__{r.rule_id}`"))
     for c in profile_cols:
-        exprs.append(F.sum(f"nulls__{c}").alias(f"nulls__{c}"))
-        exprs.append(
-            F.hll_sketch_estimate(F.hll_union_agg(f"hll__{c}")).alias(f"distinct__{c}")
-        )
+        exprs.append(F.expr(f"sum(`nulls__{c}`) AS `nulls__{c}`"))
+        exprs.append(F.expr(
+            f"hll_sketch_estimate(hll_union_agg(`hll__{c}`))"
+            f" AS `distinct__{c}`"
+        ))
         if f"min__{c}" in scan1.columns:
-            exprs.append(F.min(f"min__{c}").alias(f"min__{c}"))
-            exprs.append(F.max(f"max__{c}").alias(f"max__{c}"))
+            exprs.append(F.expr(f"min(`min__{c}`) AS `min__{c}`"))
+            exprs.append(F.expr(f"max(`max__{c}`) AS `max__{c}`"))
     row = scan1.agg(*exprs).collect()[0]
     return row.asDict()
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tanml_spark.operators.prefix import partitioned_cumsum
+from tanml_spark.operators.probe import collect_pdf
 
 from tanml_spark.checks.base import ValidationContext, register_check
 from tanml_spark.result import CheckResult, Status
@@ -115,7 +116,7 @@ def _spearman_matrix_broadcast(df: DataFrame, columns: list[str],
 
     ok = False
     try:
-        cond = cond_df.limit(budget + 1).toPandas()
+        cond = collect_pdf(cond_df.limit(budget + 1))
         if len(cond) > budget:
             return None, _named_cond()
         maps = []
@@ -315,7 +316,7 @@ def kendall_tau_exact(
             # re-running the condense shuffle (r06 ADVICE #2)
             cond = cond.persist()
             persisted = True
-            head = cond.limit(budget + 1).toPandas()
+            head = collect_pdf(cond.limit(budget + 1))
             if len(head) <= budget:
                 return _kendall_from_condensed_local(head)
         k = cond.count()
@@ -438,7 +439,7 @@ def _rank_transform_broadcast(df: DataFrame, columns: list[str],
     # within budget IS the complete condensed table; on overflow the
     # persisted frame feeds the distributed fallback, so the heavy
     # melt+groupBy shuffle still never runs twice.
-    cond = cond_df.limit(budget + 1).toPandas()
+    cond = collect_pdf(cond_df.limit(budget + 1))
     if len(cond) > budget:
         return None, cond_df
     maps: dict[str, tuple] = {}

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tanml_spark.checks.base import ValidationContext, register_check
+from tanml_spark.operators.probe import collect_pdf
 from tanml_spark.result import CheckResult, Status
 
 EPS = 1e-8
@@ -210,7 +211,7 @@ def ks_by_group(
         driver_budget = _resolve("KS", KS_DRIVER_MAX)
     schema = "group string, ks_stat double, n_e long, n_a long"
     if driver_budget:
-        pdf = cond.limit(driver_budget + 1).toPandas()
+        pdf = collect_pdf(cond.limit(driver_budget + 1))
         if len(pdf) <= driver_budget:
             rows = []
             groups = pdf["group"].unique().tolist()
@@ -286,7 +287,7 @@ def ks_from_condensed(
         from tanml_spark.suite import ks_from_counts
 
         spark = cond.sparkSession
-        pdf = cond.limit(driver_budget + 1).toPandas()
+        pdf = collect_pdf(cond.limit(driver_budget + 1))
         if len(pdf) <= driver_budget:
             rows = []
             for c in sorted(pdf["column"].unique()):
@@ -465,7 +466,7 @@ def psi_driver_from_condensed(
     if not driver_budget:
         return None
     spark = cond.sparkSession
-    pdf = cond.limit(driver_budget + 1).toPandas()
+    pdf = collect_pdf(cond.limit(driver_budget + 1))
     if len(pdf) > driver_budget:
         return None
     rows = []

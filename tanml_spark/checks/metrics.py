@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tanml_spark.operators.prefix import partitioned_cumsum
+from tanml_spark.operators.probe import collect_pdf
 
 LOGLOSS_EPS = 2.0 ** -52  # np.finfo(float).eps — sklearn log_loss 'auto' clip
 
@@ -200,7 +201,7 @@ def roc_auc(df: DataFrame, label_col: str = "label",
         driver_budget = _resolve("cv", CV_DRIVER_MAX)
     cond = condensed_scores(df, label_col, score_col)
     if driver_budget:
-        pdf = cond.limit(driver_budget + 1).toPandas()
+        pdf = collect_pdf(cond.limit(driver_budget + 1))
         if len(pdf) <= driver_budget:
             m = pdf.sort_values("s", na_position="last")  # NaN last, like Spark
             npos = m["n_pos"].to_numpy(np.float64)
@@ -330,10 +331,9 @@ def _cv_driver_from_condensed(cond: DataFrame, budget: int):
     import pandas as pd
 
     spark = cond.sparkSession
-    pdf = (
+    pdf = collect_pdf(
         cond.withColumn("__s_null", F.col("s").isNull())
         .limit(budget + 1)
-        .toPandas()
     )
     if len(pdf) > budget:
         return None

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tanml_spark.operators.probe import collect_pdf
 from tanml_spark.operators.text import tokens
 
 
@@ -365,7 +366,7 @@ def _cc_driver(edges: DataFrame, budget: int) -> DataFrame | None:
     # against the persisted frame — a result within budget IS the whole
     # edge set, and an over-budget probe leaves the cache for the
     # distributed loop without having run a separate count().
-    pdf = edges.limit(budget + 1).toPandas()
+    pdf = collect_pdf(edges.limit(budget + 1))
     if len(pdf) > budget:
         return None
     parent: dict = {}

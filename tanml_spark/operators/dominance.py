@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tanml_spark.operators.probe import collect_pdf
+
 
 _DOM_LEAF = 64  # brute-force cutoff: below this, one vectorized
                 # O(k²) pass replaces ~2k more Python-loop iterations
@@ -156,7 +158,7 @@ def kendall_tau_dominance(
         )
 
         cond = cond.persist()
-        head = cond.limit(budget + 1).toPandas()
+        head = collect_pdf(cond.limit(budget + 1))
         if len(head) <= budget:
             cond.unpersist()
             return _kendall_from_condensed_local(head)
@@ -245,12 +247,12 @@ def kendall_tau_dominance(
             "bb_w": [wb.to_numpy(np.float64)],
         })
 
-    res = tagged.groupBy("tg", "k").applyInPandas(
+    res = collect_pdf(tagged.groupBy("tg", "k").applyInPandas(
         fn,
         "tg string, s double, s_cell double, n_g double, n3_g double, "
         "t_a double, t_b double, ba int, "
         "bb_idx array<long>, bb_w array<double>",
-    ).toPandas()
+    ))
     cond.unpersist()
     if len(res) == 0:  # empty input / all-null column -> undefined tau
         return float("nan")

@@ -1,0 +1,30 @@
+"""Driver-probe collection.
+
+Every driver fast path in the engine ends in a bounded
+``limit(budget + 1)`` collect of a condensed table. ``collect_pdf``
+is the one way those probes reach pandas: ``DataFrame.toArrow()``
+(Spark 4) exports through Arrow REGARDLESS of
+``spark.sql.execution.arrow.pyspark.enabled``, so a probe costs the
+same on a vanilla session (the driver harness's — Arrow off, where a
+600k-row ``toPandas()`` pays ~3.4 s of row pickling) as on the
+engine's own session (~0.4 s measured for the same table, r07). It
+also makes the probe's pandas DTYPES session-independent — the r06
+``kendall_dominance`` regression was exactly a probe whose shape
+silently changed between Arrow-on and Arrow-off sessions.
+
+``toPandas()`` remains the fallback for environments without Arrow
+export (missing pyarrow); values are identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def collect_pdf(df: DataFrame):
+    """Collect a (bounded) DataFrame to pandas via Arrow export,
+    independent of the session's Arrow conf."""
+    try:
+        return df.toArrow().to_pandas()
+    except Exception:
+        return df.toPandas()

@@ -50,6 +50,7 @@ from tanml_spark.constraints import (
     violation_predicate_sql,
 )
 from tanml_spark.functions.hashing import logical_partition
+from tanml_spark.operators.probe import collect_pdf
 
 MAX_CONDENSED_COLLECT = 1_000_000  # distinct-value guard for driver math
 
@@ -275,7 +276,7 @@ def run_fused_suite(
     # ONE action probes AND collects (the engine's standard limit-probe,
     # r07): a probe within the guard IS the complete condensed table;
     # on overflow the cached frame feeds the distributed path.
-    local = cond.limit(MAX_CONDENSED_COLLECT + 1).toPandas()
+    local = collect_pdf(cond.limit(MAX_CONDENSED_COLLECT + 1))
     if len(local) <= MAX_CONDENSED_COLLECT:
         cond.unpersist()
         for c in drift_exprs:

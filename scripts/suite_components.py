@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Suite component isolation (guide §1.4) — NOT bench.py.
+
+Generates the bench code_files corpus once, then times, noop-isolated:
+each scan of the fused suite, and each scan-pattern rule's predicate
+individually (guarded vs raw rlike). Used to attribute the suite
+headline to its parts; absolute numbers drift with host load, so read
+the ratios and the guarded/raw deltas.
+
+Usage: SUITE_COMP_ROWS=4000000 python scripts/suite_components.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tanml_spark.session import get_spark  # noqa: E402
+from tanml_spark.sources.code_files import gen_code_files, gen_repos  # noqa: E402
+from tanml_spark.suite import run_fused_suite  # noqa: E402
+from tanml_spark.constraints import as_rule, violation_predicate_sql  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench as bench_mod  # noqa: E402  (frozen harness: rules + suite wiring)
+
+
+def timeit(fn, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        sec = time.time() - t0
+        best = sec if best is None or sec < best else best
+    return best
+
+
+def main() -> None:
+    n_rows = int(os.environ.get("SUITE_COMP_ROWS", "4000000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("suite_components", cores=cpus, shuffle_partitions=cpus)
+
+    workdir = tempfile.mkdtemp(prefix="tanml_suitecomp_")
+    data_path = os.path.join(workdir, "code_files")
+    repos_path = os.path.join(workdir, "repos")
+    n_repos = max(200, n_rows // 500)
+    gen_code_files(spark, n_rows=n_rows, n_repos=n_repos,
+                   content_min=100, content_max=600).write.parquet(data_path)
+    gen_repos(spark, n_repos=n_repos).write.parquet(repos_path)
+    df = spark.read.parquet(data_path)
+    repos_df = spark.read.parquet(repos_path)
+
+    def noop(frame):
+        frame.write.format("noop").mode("overwrite").save()
+
+    # full suite
+    sec = timeit(lambda: bench_mod.run_suite(spark, data_path, repos_df))
+    print(f"full suite               {sec:7.3f}s", flush=True)
+
+    # per-pattern predicates, guarded (engine compiler) vs raw rlike
+    base = df.select("content")
+    noop(base)  # warm the scan
+    scan_sec = timeit(lambda: noop(base))
+    print(f"bare content scan        {scan_sec:7.3f}s", flush=True)
+    for name, pat in bench_mod.SCAN_PATTERNS:
+        rule = as_rule(bench_mod._rlike_rule(name, pat))
+        guarded_sql = violation_predicate_sql(rule)
+        sql_pat = pat.replace("\\", "\\\\").replace("'", "\\'")
+        raw_sql = f"content rlike '{sql_pat}'"
+        g = timeit(lambda: noop(base.select(
+            F.sum(F.expr(guarded_sql).cast("long")).alias("v"))), reps=2)
+        r = timeit(lambda: noop(base.select(
+            F.sum(F.expr(raw_sql).cast("long")).alias("v"))), reps=2)
+        tag = "GUARDED" if guarded_sql != raw_sql and "contains" in guarded_sql.lower() else "raw    "
+        print(f"{name:24s} {tag} guarded={g:6.3f}s raw={r:6.3f}s", flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

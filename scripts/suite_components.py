@@ -81,6 +81,10 @@ def main() -> None:
         print(f"{name:24s} {tag} guarded={g:6.3f}s raw={r:6.3f}s", flush=True)
 
     spark.stop()
+    if not os.environ.get("SUITE_COMP_KEEP"):
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
